@@ -1,0 +1,150 @@
+"""Unit tests for elementary ops: norm, rope, quant, sampling filters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_omni_draft_tpu.ops import quant as q
+from vllm_omni_draft_tpu.ops.layers import rms_norm, rope_cos_sin, apply_rope_cos_sin
+from vllm_omni_draft_tpu.ops.sampling import (
+    apply_top_k_top_p,
+    compute_probs,
+    sample,
+)
+
+
+def test_rms_norm_matches_reference():
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (8,), jnp.float32)
+    eps = 1e-6
+    got = rms_norm(x, w, eps)
+    ref = x / np.sqrt(np.mean(np.asarray(x) ** 2, axis=-1, keepdims=True) + eps) * w
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
+
+
+def test_rope_rotation_preserves_norm_and_is_position_dependent():
+    B, T, H, D = 2, 3, 2, 16
+    key = jax.random.PRNGKey(0)
+    qv = jax.random.normal(key, (B, T, H, D), jnp.float32)
+    kv = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, D), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+    cos, sin = rope_cos_sin(pos, D, 10000.0)
+    q1, k1 = apply_rope_cos_sin(qv, kv, cos, sin)
+    # rotation preserves per-pair norms => overall vector norm
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(q1), axis=-1),
+        np.linalg.norm(np.asarray(qv), axis=-1),
+        rtol=1e-5,
+    )
+    # position 0 => identity
+    np.testing.assert_allclose(np.asarray(q1[:, 0]), np.asarray(qv[:, 0]), rtol=1e-5)
+    # relative-position property: q(m)·k(n) depends only on m-n
+    def dot_at(m, n):
+        pos_m = jnp.full((1, 1), m)
+        pos_n = jnp.full((1, 1), n)
+        cm, sm = rope_cos_sin(pos_m, D, 10000.0)
+        cn, sn = rope_cos_sin(pos_n, D, 10000.0)
+        qr, _ = apply_rope_cos_sin(qv[:1, :1], kv[:1, :1], cm, sm)
+        _, kr = apply_rope_cos_sin(qv[:1, :1], kv[:1, :1], cn, sn)
+        return float(jnp.sum(qr[0, 0, 0] * kr[0, 0, 0]))
+
+    assert abs(dot_at(5, 3) - dot_at(7, 5)) < 1e-3
+
+
+def test_int8_quant_roundtrip():
+    w = jax.random.normal(jax.random.PRNGKey(0), (32, 64), jnp.float32)
+    qd = q.quantize_int8(w)
+    assert qd["w"].dtype == jnp.int8
+    wdq = q.dequantize(qd, jnp.float32)
+    err = np.max(np.abs(np.asarray(wdq) - np.asarray(w)))
+    scale_max = float(jnp.max(qd["s"]))
+    assert err <= scale_max * 0.51  # within half an int8 step
+
+
+def test_int4_quant_roundtrip():
+    w = jax.random.normal(jax.random.PRNGKey(0), (16, 128), jnp.float32)
+    qd = q.quantize_int4(w, group_size=32)
+    assert qd["w"].dtype == jnp.uint8 and qd["w"].shape == (16, 64)
+    assert qd["s"].shape == (16, 4)
+    wdq = np.asarray(q.dequantize(qd, jnp.float32))
+    # group-wise max error within half an int4 step of the group scale
+    s = np.repeat(np.asarray(qd["s"]), 32, axis=1)
+    assert np.max(np.abs(wdq - np.asarray(w)) / s) <= 0.51
+
+
+def test_quant_matmul_matches_dequant_matmul():
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (32, 64), jnp.float32)
+    q8 = q.quantize_int8(w)
+    got = q.matmul_int8(x, q8["w"], q8["s"])
+    ref = x @ q.dequantize(q8, jnp.float32).T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    q4 = q.quantize_int4(w, group_size=32)
+    got4 = q.matmul_int4(x, q4["w"], q4["s"])
+    ref4 = x @ q.dequantize(q4, jnp.float32).T
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(ref4), rtol=1e-4, atol=1e-4)
+
+
+def test_int4_pack_unpack_exact():
+    rng = np.random.default_rng(0)
+    vals = rng.integers(-8, 8, size=(4, 32)).astype(np.int32)
+    u = (vals + 8).astype(np.uint8)
+    packed = jnp.asarray(u[:, 0::2] | (u[:, 1::2] << 4))
+    unpacked = np.asarray(q.unpack_int4(packed))
+    np.testing.assert_array_equal(unpacked, vals)
+
+
+def test_fp8_kv_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 16), jnp.float32)
+    f8 = q.kv_to_fp8(x, scale=1.0)
+    assert f8.dtype == q.FP8_DTYPE
+    back = np.asarray(q.kv_from_fp8(f8, 1.0, jnp.float32))
+    # e4m3 has ~2 decimal digits; relative error bounded by 2^-3
+    np.testing.assert_allclose(back, np.asarray(x), rtol=0.13, atol=0.02)
+
+
+def test_top_k_filtering():
+    logits = jnp.array([[1.0, 3.0, 2.0, 0.0]])
+    out = apply_top_k_top_p(logits, jnp.array([2]), jnp.array([1.0]))
+    kept = np.asarray(out[0]) > -1e30
+    np.testing.assert_array_equal(kept, [False, True, True, False])
+
+
+def test_top_p_filtering():
+    # probs = softmax([0, ln2, ln4]) = [1/7, 2/7, 4/7]
+    logits = jnp.log(jnp.array([[1.0, 2.0, 4.0]]))
+    out = apply_top_k_top_p(logits, jnp.array([0]), jnp.array([0.8]))
+    kept = np.asarray(out[0]) > -1e30
+    # 4/7=0.57 then 2/7 → cum 6/7=0.857 ≥ 0.8 ⇒ keep {4, 2}, drop 1
+    np.testing.assert_array_equal(kept, [False, True, True])
+
+
+def test_compute_probs_greedy_is_one_hot():
+    logits = jnp.array([[0.1, 5.0, 1.0], [2.0, 0.0, -1.0]])
+    p = compute_probs(logits, jnp.array([0.0, 0.0]), jnp.array([0, 0]), jnp.array([1.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(p), [[0, 1, 0], [1, 0, 0]], atol=1e-6)
+
+
+def test_sample_respects_distribution():
+    logits = jnp.log(jnp.array([[0.2, 0.8]] * 1))
+    temps = jnp.array([1.0])
+    counts = np.zeros(2)
+    for i in range(400):
+        tok, _ = sample(logits, temps, jnp.array([0]), jnp.array([1.0]),
+                        jax.random.PRNGKey(i))
+        counts[int(tok[0])] += 1
+    assert 0.72 < counts[1] / 400 < 0.88
+
+
+def test_mixed_greedy_and_sampled_batch():
+    logits = jnp.array([[0.0, 10.0], [0.0, 10.0]])
+    tok, _ = sample(
+        logits,
+        jnp.array([0.0, 1.0]),
+        jnp.array([0, 0]),
+        jnp.array([1.0, 1.0]),
+        jax.random.PRNGKey(0),
+    )
+    assert int(tok[0]) == 1  # greedy row deterministic

@@ -1,0 +1,101 @@
+"""Lossless rejection sampling: exactness for greedy, distribution match
+for sampled verify (BASELINE.json gate: output distribution exactly lossless
+vs target-only decode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_omni_draft_tpu.ops.rejection import rejection_sample
+
+
+def _one_hot(idx, V):
+    p = np.zeros(V, np.float32)
+    p[idx] = 1.0
+    return p
+
+
+def test_greedy_all_accept():
+    V, K = 8, 3
+    # target argmaxes are [2, 5, 1]; bonus position argmax 7
+    p = np.stack([_one_hot(i, V) for i in [2, 5, 1, 7]])[None]  # [1, K+1, V]
+    q = np.stack([_one_hot(i, V) for i in [2, 5, 1]])[None]
+    draft = jnp.asarray([[2, 5, 1]], jnp.int32)
+    out, n = rejection_sample(draft, jnp.asarray(q), jnp.asarray(p), jax.random.PRNGKey(0))
+    assert int(n[0]) == K + 1
+    np.testing.assert_array_equal(np.asarray(out[0]), [2, 5, 1, 7])
+
+
+def test_greedy_first_mismatch_rejects_with_argmax_recovery():
+    V, K = 8, 3
+    p = np.stack([_one_hot(i, V) for i in [2, 5, 1, 7]])[None]
+    q = np.stack([_one_hot(i, V) for i in [2, 4, 1]])[None]  # draft wrong at pos 1
+    draft = jnp.asarray([[2, 4, 1]], jnp.int32)
+    out, n = rejection_sample(draft, jnp.asarray(q), jnp.asarray(p), jax.random.PRNGKey(0))
+    assert int(n[0]) == 2  # accepted [2], recovery token
+    np.testing.assert_array_equal(np.asarray(out[0]), [2, 5, -1, -1])
+
+
+def test_output_distribution_is_target_distribution():
+    """First emitted token's distribution must equal p_0 exactly, whatever
+    the draft proposes — the core losslessness property."""
+    V, K, N = 4, 1, 30000
+    rng = np.random.default_rng(0)
+    p0 = np.array([0.1, 0.2, 0.3, 0.4], np.float32)
+    q0 = np.array([0.4, 0.3, 0.2, 0.1], np.float32)  # deliberately mismatched
+    p = np.stack([p0, np.ones(V) / V])[None]  # [1, 2, V]
+    q = q0[None, None]  # [1, 1, V]
+
+    counts = np.zeros(V)
+    base_key = jax.random.PRNGKey(42)
+    # vectorize the trial over the batch dimension for speed
+    B = 500
+    draft_keys = jax.random.split(jax.random.PRNGKey(7), N // B)
+    pB = jnp.asarray(np.repeat(p, B, axis=0))
+    qB = jnp.asarray(np.repeat(q, B, axis=0))
+
+    sample_fn = jax.jit(rejection_sample)
+    for i in range(N // B):
+        dk, rk = jax.random.split(draft_keys[i])
+        # draft proposes from q
+        drafts = jax.random.categorical(
+            dk, jnp.log(qB[:, 0, :]), axis=-1
+        )[:, None].astype(jnp.int32)
+        out, n = sample_fn(drafts, qB, pB, rk)
+        first = np.asarray(out[:, 0])
+        for v in range(V):
+            counts[v] += int((first == v).sum())
+
+    freq = counts / N
+    np.testing.assert_allclose(freq, p0, atol=0.015)
+
+
+def test_acceptance_rate_is_one_when_q_equals_p():
+    V, K, B = 16, 4, 64
+    rng = np.random.default_rng(1)
+    dist = rng.dirichlet(np.ones(V), size=(B, K + 1)).astype(np.float32)
+    p = jnp.asarray(dist)
+    q = p[:, :K, :]
+    key = jax.random.PRNGKey(3)
+    drafts = jax.vmap(
+        lambda k, row: jax.random.categorical(k, jnp.log(row), axis=-1),
+        in_axes=(0, 0),
+    )(jax.random.split(key, B), q).astype(jnp.int32)
+    out, n = rejection_sample(drafts, q, p, jax.random.PRNGKey(11))
+    # p == q => every draft token accepted
+    assert int(jnp.min(n)) == K + 1
+
+
+def test_emitted_prefix_matches_draft_prefix():
+    V, K, B = 8, 3, 32
+    rng = np.random.default_rng(2)
+    p = jnp.asarray(rng.dirichlet(np.ones(V), size=(B, K + 1)).astype(np.float32))
+    q = jnp.asarray(rng.dirichlet(np.ones(V), size=(B, K)).astype(np.float32))
+    drafts = jnp.asarray(rng.integers(0, V, size=(B, K)), jnp.int32)
+    out, n = rejection_sample(drafts, q, p, jax.random.PRNGKey(0))
+    out_np, n_np = np.asarray(out), np.asarray(n)
+    for b in range(B):
+        k = n_np[b] - 1  # accepted count
+        np.testing.assert_array_equal(out_np[b, :k], np.asarray(drafts)[b, :k])
+        assert (out_np[b, n_np[b]:] == -1).all()
+        assert 0 <= out_np[b, k] < V

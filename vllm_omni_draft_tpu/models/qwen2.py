@@ -1,0 +1,173 @@
+"""Qwen2 / Qwen2.5 dense decoder in functional JAX.
+
+TPU-first design (not a torch translation):
+
+- parameters are a plain pytree with all layers *stacked* on a leading
+  axis, and the forward pass is a `lax.scan` over layers — one compiled
+  layer body instead of L unrolled ones (compile time and code size on
+  TPU scale with the trace, not the model);
+- the paged KV cache ([L, NUM_BLOCKS, BLOCK, Hkv, D]) is scanned
+  alongside, so KV writes are part of the same fused step;
+- attention is the unified position-masked paged attention
+  (ops/attention.py) so decode/verify/prefill share one jitted step;
+- quantized linears are dtype-dispatched dicts (ops/quant.py) that ride
+  through the same scan.
+
+Architecture (Qwen2-family): RMSNorm pre-norm, GQA with q/k/v bias,
+rotary position embeddings (theta=1e6), SwiGLU MLP, optional tied
+embeddings. Capability parity target: the reference serves
+Qwen2.5 / Qwen2.5-VL via vLLM (reference: `src/performance_enhancement/
+test_pipeline.py:20-26`; BASELINE.json ladder configs).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from vllm_omni_draft_tpu.config import ModelConfig
+from vllm_omni_draft_tpu.models import register_model
+from vllm_omni_draft_tpu.ops import quant as quant_ops
+from vllm_omni_draft_tpu.ops.attention import AttentionMetadata, attention, write_kv
+from vllm_omni_draft_tpu.ops.layers import (
+    apply_rope_cos_sin,
+    linear,
+    rms_norm,
+    rope_cos_sin,
+)
+
+
+def _dtype(cfg: ModelConfig):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[
+        cfg.dtype
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (random; checkpoints load via models/weights.py)
+# ---------------------------------------------------------------------------
+
+
+def init_params(cfg: ModelConfig, key: jax.Array | None = None) -> dict:
+    """Random-init parameters in the stacked-layer layout."""
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    dt = _dtype(cfg)
+    D, F, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    L = cfg.num_layers
+    ks = jax.random.split(key, 10)
+
+    def w(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)).astype(dt)
+
+    params = {
+        "embed": w(ks[0], (V, D), D),
+        "layers": {
+            "ln1": jnp.ones((L, D), dt),
+            "q": {"w": w(ks[1], (L, Hq * Dh, D), D), "b": jnp.zeros((L, Hq * Dh), dt)},
+            "k": {"w": w(ks[2], (L, Hkv * Dh, D), D), "b": jnp.zeros((L, Hkv * Dh), dt)},
+            "v": {"w": w(ks[3], (L, Hkv * Dh, D), D), "b": jnp.zeros((L, Hkv * Dh), dt)},
+            "o": {"w": w(ks[4], (L, D, Hq * Dh), Hq * Dh)},
+            "ln2": jnp.ones((L, D), dt),
+            "gate": {"w": w(ks[5], (L, F, D), D)},
+            "up": {"w": w(ks[6], (L, F, D), D)},
+            "down": {"w": w(ks[7], (L, D, F), F)},
+        },
+        "final_norm": jnp.ones((D,), dt),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"w": w(ks[8], (V, D), D)}
+    return params
+
+
+def init_kv_cache(
+    cfg: ModelConfig, num_blocks: int, block_size: int
+) -> dict:
+    """Paged KV cache: {"k","v"}: [L, NUM_BLOCKS, BLOCK, Hkv, Dh].
+    Block 0 is the reserved null block (padding writes land there)."""
+    kv_dt = {
+        "bfloat16": jnp.bfloat16,
+        "float32": jnp.float32,
+        "fp8": quant_ops.FP8_DTYPE,
+    }[cfg.kv_cache_dtype]
+    shape = (cfg.num_layers, num_blocks, block_size, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, kv_dt), "v": jnp.zeros(shape, kv_dt)}
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def make_forward(cfg: ModelConfig):
+    """Build the pure forward fn:
+
+      forward(params, token_ids [B,T], positions [B,T], kv_cache, meta,
+              input_embeds=None) -> (hidden [B,T,D], new_kv_cache)
+
+    `input_embeds` (if given) overrides the embedding lookup — the
+    multimodal prefill path splices vision embeddings this way
+    (reference capability: encoder inputs entering prefill,
+    `src/doc/engine_core.md:297-298`).
+    """
+    Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    scale = 1.0 / math.sqrt(Dh)
+    eps = cfg.rms_norm_eps
+    theta = cfg.rope_theta
+
+    def layer_fn(carry, xs):
+        x, cos, sin, meta = carry
+        lp, kc, vc = xs
+        B, T, D = x.shape
+
+        h = rms_norm(x, lp["ln1"], eps)
+        q = linear(h, lp["q"]).reshape(B, T, Hq, Dh)
+        k = linear(h, lp["k"]).reshape(B, T, Hkv, Dh)
+        v = linear(h, lp["v"]).reshape(B, T, Hkv, Dh)
+        q, k = apply_rope_cos_sin(q, k, cos, sin)
+        kc, vc = write_kv(kc, vc, k, v, meta.slot_mapping)
+        o = attention(q, kc, vc, meta, scale)
+        x = x + linear(o.reshape(B, T, Hq * Dh), lp["o"])
+
+        h = rms_norm(x, lp["ln2"], eps)
+        g = linear(h, lp["gate"])
+        u = linear(h, lp["up"])
+        x = x + linear(jax.nn.silu(g) * u, lp["down"])
+        return (x, cos, sin, meta), (kc, vc)
+
+    def forward(
+        params: dict,
+        token_ids: jax.Array,  # [B, T] int32
+        positions: jax.Array,  # [B, T] int32 (-1 padding)
+        kv_cache: dict,
+        meta: AttentionMetadata,
+        input_embeds: jax.Array | None = None,
+    ):
+        if input_embeds is None:
+            x = params["embed"][jnp.maximum(token_ids, 0)].astype(_dtype(cfg))
+        else:
+            x = input_embeds.astype(_dtype(cfg))
+        cos, sin = rope_cos_sin(positions, Dh, theta)
+        (x, _, _, _), (new_k, new_v) = jax.lax.scan(
+            layer_fn,
+            (x, cos, sin, meta),
+            (params["layers"], kv_cache["k"], kv_cache["v"]),
+        )
+        x = rms_norm(x, params["final_norm"], eps)
+        return x, {"k": new_k, "v": new_v}
+
+    return forward
+
+
+def compute_logits(cfg: ModelConfig, params: dict, hidden: jax.Array) -> jax.Array:
+    """hidden [N, D] -> logits [N, V] in f32 (select rows before calling —
+    vLLM-style logits-index selection keeps prefill cheap)."""
+    head = params["lm_head"] if "lm_head" in params else {"w": params["embed"]}
+    return linear(hidden, head, out_dtype=jnp.float32)
+
+
+import sys as _sys  # noqa: E402
+
+register_model("qwen2", _sys.modules[__name__])

@@ -1,0 +1,143 @@
+"""Unified paged attention (XLA reference path) + paged KV writes.
+
+One attention function serves decode (T=1), verify (T=k+1), and chunked
+prefill (T=chunk): masking is position-based, so the same jitted step
+handles every phase with static shapes — the discipline TPU demands
+(SURVEY.md §7 design stance).
+
+This is the gather-based XLA implementation, used on CPU tests and as the
+numerical reference for the Pallas paged-attention kernel
+(ops/pallas/paged_attention.py) that replaces it on TPU.
+
+Capability parity: vLLM's CUDA PagedAttention kernel over block-table KV
+(reference: `src/doc/test_report.md:118`, SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from vllm_omni_draft_tpu.ops import quant as quant_ops
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class AttentionMetadata:
+    """Static-shape attention metadata for one engine step.
+
+    block_tables: [B, MAX_BLOCKS] int32 — physical block ids per sequence
+                  (block 0 is the reserved null/trash block).
+    kv_lens:      [B] int32 — KV length per sequence *including* the tokens
+                  written this step. 0 for padding slots.
+    positions:    [B, T] int32 — absolute position of each query token;
+                  -1 for padding tokens.
+    slot_mapping: [B, T] int32 — flat cache slot (block_id * block_size +
+                  offset) each new token's KV is written to; -1 to drop.
+    """
+
+    block_tables: jax.Array
+    kv_lens: jax.Array
+    positions: jax.Array
+    slot_mapping: jax.Array
+
+
+def write_kv(
+    k_cache: jax.Array,  # [NUM_BLOCKS, BLOCK, Hkv, D] (maybe fp8)
+    v_cache: jax.Array,
+    k_new: jax.Array,  # [B, T, Hkv, D] compute dtype
+    v_new: jax.Array,
+    slot_mapping: jax.Array,  # [B, T] int32, -1 = drop
+    kv_scale: float = 1.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter new KV into the paged cache. Functional (returns new arrays);
+    under jit with donated buffers this compiles to an in-place scatter."""
+    nb, bs, h, d = k_cache.shape
+    if k_cache.dtype == quant_ops.FP8_DTYPE:
+        k_new = quant_ops.kv_to_fp8(k_new, kv_scale)
+        v_new = quant_ops.kv_to_fp8(v_new, kv_scale)
+    else:
+        k_new = k_new.astype(k_cache.dtype)
+        v_new = v_new.astype(v_cache.dtype)
+    flat = slot_mapping.reshape(-1)  # [B*T]
+    k_flat = k_cache.reshape(nb * bs, h, d)
+    v_flat = v_cache.reshape(nb * bs, h, d)
+    k_flat = k_flat.at[flat].set(k_new.reshape(-1, h, d), mode="drop")
+    v_flat = v_flat.at[flat].set(v_new.reshape(-1, h, d), mode="drop")
+    return k_flat.reshape(nb, bs, h, d), v_flat.reshape(nb, bs, h, d)
+
+
+def paged_attention(
+    q: jax.Array,  # [B, T, Hq, D]
+    k_cache: jax.Array,  # [NUM_BLOCKS, BLOCK, Hkv, D]
+    v_cache: jax.Array,
+    meta: AttentionMetadata,
+    scale: float,
+    kv_scale: float = 1.0,
+) -> jax.Array:
+    """Gather-based paged attention with position-causal masking.
+
+    Query token (b, t) attends to cache index j (within the sequence's block
+    table, laid out contiguously) iff j <= positions[b, t] and j < kv_lens[b].
+    Padding query rows (positions == -1) see an empty mask and produce zeros.
+    """
+    B, T, Hq, D = q.shape
+    _, BS, Hkv, _ = k_cache.shape
+    G = Hq // Hkv
+    S = meta.block_tables.shape[1] * BS  # padded per-seq KV span
+
+    # Gather this batch's KV: [B, NBLK, BS, Hkv, D] -> [B, S, Hkv, D]
+    k = k_cache[meta.block_tables].reshape(B, S, Hkv, D)
+    v = v_cache[meta.block_tables].reshape(B, S, Hkv, D)
+    if k_cache.dtype == quant_ops.FP8_DTYPE:
+        k = quant_ops.kv_from_fp8(k, kv_scale, jnp.float32)
+        v = quant_ops.kv_from_fp8(v, kv_scale, jnp.float32)
+
+    qf = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    # scores: [B, Hkv, G, T, S]
+    scores = jnp.einsum("bthgd,bshd->bhgts", qf, kf) * scale
+
+    j = jnp.arange(S, dtype=jnp.int32)
+    valid = j[None, None, :] < meta.kv_lens[:, None, None]  # [B, 1, S]
+    causal = j[None, None, :] <= meta.positions[:, :, None]  # [B, T, S]
+    mask = (valid & causal)[:, None, None, :, :]  # [B, 1, 1, T, S]
+
+    neg = jnp.finfo(jnp.float32).min
+    scores = jnp.where(mask, scores, neg)
+    # safe softmax: fully-masked rows -> zeros, not NaN
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - jax.lax.stop_gradient(jnp.maximum(m, neg / 2)))
+    e = jnp.where(mask, e, 0.0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.maximum(denom, 1e-30)
+
+    out = jnp.einsum("bhgts,bshd->bthgd", p, vf)  # [B, T, Hkv, G, D]
+    return out.reshape(B, T, Hq, D).astype(q.dtype)
+
+
+# Pallas override hook (set on TPU by ops.pallas.paged_attention).
+_PALLAS_PAGED_ATTENTION = None
+
+
+def use_pallas_kernel(fn) -> None:
+    global _PALLAS_PAGED_ATTENTION
+    _PALLAS_PAGED_ATTENTION = fn
+
+
+def attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    meta: AttentionMetadata,
+    scale: float,
+    kv_scale: float = 1.0,
+) -> jax.Array:
+    """Dispatch: Pallas kernel on TPU, gather-based reference elsewhere."""
+    if _PALLAS_PAGED_ATTENTION is not None:
+        return _PALLAS_PAGED_ATTENTION(q, k_cache, v_cache, meta, scale, kv_scale)
+    return paged_attention(q, k_cache, v_cache, meta, scale, kv_scale)

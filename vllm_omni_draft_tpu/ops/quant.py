@@ -1,0 +1,138 @@
+"""Weight-only quantization: INT8 (per-out-channel) and INT4 (group-wise).
+
+Capability parity with the reference's inherited quant surface
+(SURVEY.md §2.4: vLLM CUDA INT8/INT4 dequant+GEMM kernels, FP8 KV) —
+rebuilt TPU-native:
+
+- checkpoint-side: `quantize_int8` / `quantize_int4` produce compact
+  weights + scales,
+- run-side: `matmul_int8` / `matmul_int4` are the XLA fallback paths;
+  the Pallas fused dequant+matmul kernels (ops/pallas/quant_matmul.py)
+  override them on TPU for the hot verify matmuls.
+
+A linear weight is a plain dict pytree (scan/pjit friendly — no string
+leaves); the variant is inferred from dtypes:
+
+  {"w": float [O, I]}                        dense
+  {"w": int8 [O, I],  "s": f32 [O, 1]}       int8 per-out-channel
+  {"w": uint8 [O, I//2], "s": f32 [O, I//G]} int4 group-wise, nibble-packed
+
+INT8: y[b,o] = sum_i x[b,i]*q[o,i]*s[o] — the scale folds *after* the
+matmul, so the MXU sees a plain int8->bf16 cast matmul and XLA fuses the
+cast. INT4 group scales cannot fold post-matmul; the fallback dequantizes
+to bf16 first, the Pallas kernel dequantizes in-register.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def weight_kind(w: dict) -> str:
+    if "s" not in w:
+        return "dense"
+    if w["w"].dtype == jnp.int8:
+        return "int8"
+    if w["w"].dtype == jnp.uint8:
+        return "int4"
+    raise ValueError(f"unrecognized quantized weight dtype {w['w'].dtype}")
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-side quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(w: jax.Array) -> dict:
+    """Per-out-channel symmetric INT8. w: [O, I] float."""
+    wf = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(wf), axis=1, keepdims=True) / 127.0  # [O, 1]
+    s = jnp.maximum(s, 1e-8)
+    q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    return {"w": q, "s": s}
+
+
+def quantize_int4(w: jax.Array, group_size: int = 128) -> dict:
+    """Group-wise symmetric INT4, packed two nibbles per byte (even index in
+    the low nibble). w: [O, I]; I divisible by group_size and by 2."""
+    O, I = w.shape
+    assert I % group_size == 0 and I % 2 == 0, (O, I, group_size)
+    wf = w.astype(jnp.float32).reshape(O, I // group_size, group_size)
+    s = jnp.max(jnp.abs(wf), axis=-1, keepdims=True) / 7.0  # [O, G, 1]
+    s = jnp.maximum(s, 1e-8)
+    q = jnp.clip(jnp.round(wf / s), -8, 7).astype(jnp.int32).reshape(O, I)
+    u = (q + 8).astype(jnp.uint8)  # [0, 15]
+    packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(jnp.uint8)  # [O, I//2]
+    return {"w": packed, "s": s.reshape(O, I // group_size)}
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """[O, I//2] uint8 -> [O, I] int8 in [-8, 7] (interleaved lo/hi)."""
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
+    return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+
+
+def dequantize(w: dict, dtype=jnp.bfloat16) -> jax.Array:
+    """Materialize the full-precision weight (reference/testing path)."""
+    kind = weight_kind(w)
+    if kind == "dense":
+        return w["w"].astype(dtype)
+    if kind == "int8":
+        return (w["w"].astype(jnp.float32) * w["s"]).astype(dtype)
+    # int4
+    q = unpack_int4(w["w"]).astype(jnp.float32)  # [O, I]
+    O, I = q.shape
+    g = I // w["s"].shape[1]
+    wf = q.reshape(O, -1, g) * w["s"][:, :, None]
+    return wf.reshape(O, I).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Run-side matmuls (XLA fallback; Pallas kernels override on TPU)
+# ---------------------------------------------------------------------------
+
+# Set by ops.pallas.quant_matmul when running on TPU.
+_PALLAS_INT8 = None
+_PALLAS_INT4 = None
+
+
+def use_pallas_kernels(int8_fn, int4_fn) -> None:
+    global _PALLAS_INT8, _PALLAS_INT4
+    _PALLAS_INT8, _PALLAS_INT4 = int8_fn, int4_fn
+
+
+def matmul_int8(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
+    """x: [..., I] bf16/f32; q: [O, I] int8; s: [O, 1] f32 -> [..., O]."""
+    if _PALLAS_INT8 is not None and x.ndim == 2:
+        return _PALLAS_INT8(x, q, s)
+    y = x @ q.T.astype(x.dtype)
+    return y * s[:, 0].astype(y.dtype)
+
+
+def matmul_int4(x: jax.Array, packed: jax.Array, s: jax.Array) -> jax.Array:
+    """x: [..., I]; packed: [O, I//2] uint8; s: [O, I//G] f32 -> [..., O]."""
+    if _PALLAS_INT4 is not None and x.ndim == 2:
+        return _PALLAS_INT4(x, packed, s)
+    w = dequantize({"w": packed, "s": s}, dtype=x.dtype)
+    return x @ w.T
+
+
+# ---------------------------------------------------------------------------
+# FP8 KV-cache conversion
+# ---------------------------------------------------------------------------
+
+FP8_DTYPE = jnp.float8_e4m3fn
+FP8_MAX = 448.0
+
+
+def kv_to_fp8(kv: jax.Array, scale: float = 1.0) -> jax.Array:
+    """Cast KV to fp8 e4m3 with clipping. `scale` is a static per-model
+    scale (K/V values post-RMSNorm are O(1); e4m3 range is ±448)."""
+    x = kv.astype(jnp.float32) * (1.0 / scale)
+    return jnp.clip(x, -FP8_MAX, FP8_MAX).astype(FP8_DTYPE)
+
+
+def kv_from_fp8(kv: jax.Array, scale: float, dtype=jnp.bfloat16) -> jax.Array:
+    return (kv.astype(jnp.float32) * scale).astype(dtype)

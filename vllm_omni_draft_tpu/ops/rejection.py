@@ -1,0 +1,101 @@
+"""Lossless speculative-decoding rejection sampler (XLA reference path).
+
+Implements the draft/verify acceptance rule of speculative sampling
+(Leviathan et al. / Chen et al.): given k draft tokens with proposal
+distributions q_i and the target's distributions p_i over the same
+positions,
+
+  accept draft token d_i with probability min(1, p_i(d_i) / q_i(d_i));
+  on the first rejection at position r, emit a recovery token sampled from
+  norm(max(p_r - q_r, 0)); if all k accepted, emit a bonus token from
+  p_k (the target's distribution at the position after the last draft token).
+
+The output distribution is *exactly* the target-only sampling distribution —
+including the greedy case, where `compute_probs` makes p one-hot and the
+rule degenerates to "accept while the draft token equals the target argmax".
+
+Capability parity: vLLM's rejection-sampler kernels (SURVEY.md §2.4);
+the Pallas fused kernel (ops/pallas/rejection.py) overrides this on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vllm_omni_draft_tpu.ops.sampling import sample_from_probs
+
+PLACEHOLDER = -1  # padding token id in the output buffer
+
+
+def rejection_sample(
+    draft_tokens: jax.Array,  # [B, K] int32 — tokens the draft proposed
+    q_probs: jax.Array,  # [B, K, V] f32 — draft distribution at each position
+    p_probs: jax.Array,  # [B, K+1, V] f32 — target distribution at each position
+    key: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (out_tokens [B, K+1] int32 padded with -1, num_emitted [B]).
+
+    num_emitted = num_accepted + 1 (the +1 is the recovery or bonus token);
+    out_tokens[b, :num_emitted[b]] are the tokens to append.
+    """
+    B, K = draft_tokens.shape
+    V = p_probs.shape[-1]
+    u_key, resample_key = jax.random.split(key)
+
+    # acceptance test per position
+    u = jax.random.uniform(u_key, (B, K), dtype=jnp.float32)
+    idx = draft_tokens[..., None]  # [B, K, 1]
+    p_at = jnp.take_along_axis(p_probs[:, :K, :], idx, axis=-1)[..., 0]  # [B, K]
+    q_at = jnp.take_along_axis(q_probs, idx, axis=-1)[..., 0]
+    ratio = p_at / jnp.maximum(q_at, 1e-30)
+    accept = u < jnp.minimum(ratio, 1.0)  # [B, K]
+
+    # longest accepted prefix
+    acc_prefix = jnp.cumprod(accept.astype(jnp.int32), axis=-1)  # [B, K]
+    num_accepted = jnp.sum(acc_prefix, axis=-1)  # [B]
+    all_accepted = num_accepted == K
+
+    # distribution for the (num_accepted)-th emitted token:
+    #   bonus  p_K          if all accepted
+    #   norm(max(p_r - q_r, 0)) at r = num_accepted otherwise
+    r = jnp.minimum(num_accepted, K)  # [B]
+    p_r = jnp.take_along_axis(p_probs, r[:, None, None], axis=1)[:, 0, :]  # [B, V]
+    q_r = jnp.take_along_axis(
+        q_probs, jnp.minimum(r, K - 1)[:, None, None], axis=1
+    )[:, 0, :]
+    residual = jnp.maximum(p_r - q_r, 0.0)
+    res_sum = jnp.sum(residual, axis=-1, keepdims=True)
+    # degenerate residual (p == q exactly): fall back to p_r itself
+    residual = jnp.where(res_sum > 1e-12, residual, p_r)
+    residual = residual / jnp.maximum(
+        jnp.sum(residual, axis=-1, keepdims=True), 1e-30
+    )
+    final_dist = jnp.where(all_accepted[:, None], p_r, residual)  # [B, V]
+    final_token = sample_from_probs(final_dist, resample_key)  # [B]
+
+    # assemble output: accepted draft tokens then the final token, -1 padding
+    pos = jnp.arange(K + 1, dtype=jnp.int32)[None, :]  # [1, K+1]
+    drafts_padded = jnp.concatenate(
+        [draft_tokens, jnp.zeros((B, 1), jnp.int32)], axis=-1
+    )
+    out = jnp.where(pos < num_accepted[:, None], drafts_padded, PLACEHOLDER)
+    out = jnp.where(pos == num_accepted[:, None], final_token[:, None], out)
+    num_emitted = num_accepted + 1
+    del V
+    return out.astype(jnp.int32), num_emitted.astype(jnp.int32)
+
+
+# Pallas override hook (set on TPU by ops.pallas.rejection).
+_PALLAS_REJECTION = None
+
+
+def use_pallas_kernel(fn) -> None:
+    global _PALLAS_REJECTION
+    _PALLAS_REJECTION = fn
+
+
+def rejection_sample_dispatch(draft_tokens, q_probs, p_probs, key):
+    if _PALLAS_REJECTION is not None:
+        return _PALLAS_REJECTION(draft_tokens, q_probs, p_probs, key)
+    return rejection_sample(draft_tokens, q_probs, p_probs, key)
