@@ -1,0 +1,227 @@
+"""Engine integration tests: continuous batching, chunked prefill, prefix
+caching, preemption, stop conditions, and spec-decode losslessness —
+all CPU, tiny random models (reference test strategy, SURVEY.md §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vllm_omni_draft_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SchedulerConfig,
+    SpeculativeConfig,
+)
+from vllm_omni_draft_tpu.core.request import OutputKind, SamplingParams
+from vllm_omni_draft_tpu.engine.llm import LLM
+
+TINY_HF = dict(
+    vocab_size=128,
+    hidden_size=32,
+    intermediate_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=256,
+    rope_theta=10000.0,
+    rms_norm_eps=1e-6,
+    tie_word_embeddings=False,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_checkpoint(tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+    from safetensors.torch import save_file
+
+    path = tmp_path_factory.mktemp("tiny_qwen2_eng")
+    cfg = Qwen2Config(**TINY_HF)
+    torch.manual_seed(0)
+    model = Qwen2ForCausalLM(cfg).eval().to(torch.float32)
+    save_file(
+        {k: v.contiguous() for k, v in model.state_dict().items()},
+        os.path.join(path, "model.safetensors"),
+    )
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump({**TINY_HF, "model_type": "qwen2"}, f)
+    return str(path), model
+
+
+def _config(path, **kw):
+    return EngineConfig(
+        model=ModelConfig.from_hf_config(path, dtype="float32", max_model_len=128),
+        cache=CacheConfig(block_size=4, num_blocks=kw.pop("num_blocks", 256)),
+        scheduler=SchedulerConfig(
+            max_num_seqs=kw.pop("max_num_seqs", 4),
+            max_num_batched_tokens=kw.pop("max_num_batched_tokens", 64),
+            prefill_buckets=(16, 64),
+        ),
+        speculative=kw.pop("speculative", None),
+        seed=0,
+        **kw,
+    )
+
+
+def _hf_greedy(model, prompt_ids, n):
+    import torch
+
+    with torch.no_grad():
+        out = model.generate(
+            torch.tensor([prompt_ids]),
+            max_new_tokens=n,
+            do_sample=False,
+            pad_token_id=0,
+        )
+    return out[0, len(prompt_ids) :].tolist()
+
+
+GREEDY = lambda n: SamplingParams(max_tokens=n, temperature=0.0, ignore_eos=True)
+
+
+def test_batch_greedy_matches_hf(hf_checkpoint):
+    path, hf = hf_checkpoint
+    llm = LLM(_config(path))
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 100, size=n).tolist() for n in (5, 11, 23)]
+    outs = llm.generate(prompts, [GREEDY(8)] * 3)
+    for p, o in zip(prompts, outs):
+        assert o.finished
+        assert o.outputs[0].token_ids == _hf_greedy(hf, p, 8), p
+
+
+def test_chunked_prefill_matches_hf(hf_checkpoint):
+    path, hf = hf_checkpoint
+    llm = LLM(_config(path, max_num_batched_tokens=16))
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(1, 100, size=50).tolist()  # forces 4 chunks
+    out = llm.generate([prompt], [GREEDY(6)])[0]
+    assert out.outputs[0].token_ids == _hf_greedy(hf, prompt, 6)
+
+
+def test_prefix_caching_hits_and_matches(hf_checkpoint):
+    path, hf = hf_checkpoint
+    llm = LLM(_config(path))
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(1, 100, size=33).tolist()
+    out1 = llm.generate([prompt], [GREEDY(5)])[0]
+    out2 = llm.generate([prompt], [GREEDY(5)])[0]
+    assert out2.num_cached_tokens >= 16  # whole blocks of 4, minus last
+    assert out1.outputs[0].token_ids == out2.outputs[0].token_ids
+    assert out1.outputs[0].token_ids == _hf_greedy(hf, prompt, 5)
+
+
+def test_preemption_recovers(hf_checkpoint):
+    path, hf = hf_checkpoint
+    # tiny pool: 3 requests of ~30+ tokens can't all fit at once
+    llm = LLM(_config(path, num_blocks=24, max_num_seqs=3))
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, 100, size=20).tolist() for _ in range(3)]
+    outs = llm.generate(prompts, [GREEDY(12)] * 3)
+    assert llm.engine.scheduler.stats.num_preempted_total > 0, (
+        "test should actually force preemption"
+    )
+    for p, o in zip(prompts, outs):
+        assert o.outputs[0].token_ids == _hf_greedy(hf, p, 12)
+
+
+def test_stop_token_and_max_tokens(hf_checkpoint):
+    path, hf = hf_checkpoint
+    llm = LLM(_config(path))
+    prompt = [5, 6, 7, 8]
+    ref = _hf_greedy(hf, prompt, 10)
+    stop_tok = ref[3]
+    out = llm.generate(
+        [prompt],
+        [SamplingParams(max_tokens=10, temperature=0.0, stop_token_ids=(stop_tok,))],
+    )[0]
+    assert out.outputs[0].finish_reason == "stop"
+    assert out.outputs[0].token_ids == ref[: 4]  # includes the stop token
+
+
+def test_sampled_generation_reproducible_across_batching(hf_checkpoint):
+    path, _ = hf_checkpoint
+    llm = LLM(_config(path))
+    prompt = [3, 1, 4, 1, 5]
+    sp = SamplingParams(max_tokens=6, temperature=0.8, top_p=0.9, ignore_eos=True)
+    out = llm.generate([prompt], [sp])[0]
+    assert len(out.outputs[0].token_ids) == 6
+    assert all(0 <= t < TINY_HF["vocab_size"] for t in out.outputs[0].token_ids)
+
+
+# ---------------------------------------------------------------------------
+# speculative decoding
+# ---------------------------------------------------------------------------
+
+
+def _draft_checkpoint(tmp_path_factory, seed):
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+    from safetensors.torch import save_file
+
+    cfg_kw = dict(TINY_HF, num_hidden_layers=1, hidden_size=16, intermediate_size=32,
+                  num_attention_heads=2, num_key_value_heads=1)
+    path = tmp_path_factory.mktemp(f"tiny_draft_{seed}")
+    torch.manual_seed(seed)
+    model = Qwen2ForCausalLM(Qwen2Config(**cfg_kw)).eval().to(torch.float32)
+    save_file(
+        {k: v.contiguous() for k, v in model.state_dict().items()},
+        os.path.join(path, "model.safetensors"),
+    )
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump({**cfg_kw, "model_type": "qwen2"}, f)
+    return str(path)
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_spec_decode_greedy_is_exactly_lossless(hf_checkpoint, tmp_path_factory, k):
+    """Greedy spec decode must equal target-only greedy decode token-for-
+    token, no matter how bad the draft is (BASELINE.json correctness gate)."""
+    path, hf = hf_checkpoint
+    draft_path = _draft_checkpoint(tmp_path_factory, seed=99)
+    spec = SpeculativeConfig(
+        draft_model=ModelConfig.from_hf_config(draft_path, dtype="float32",
+                                               max_model_len=128),
+        num_speculative_tokens=k,
+    )
+    llm = LLM(_config(path, speculative=spec))
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(1, 100, size=n).tolist() for n in (7, 19)]
+    outs = llm.generate(prompts, [GREEDY(12)] * 2)
+    for p, o in zip(prompts, outs):
+        assert o.outputs[0].token_ids == _hf_greedy(hf, p, 12), p
+    stats = llm.get_stats()["spec_decode"]
+    assert stats.num_draft_tokens > 0
+
+
+def test_spec_decode_with_self_draft_accepts_everything(hf_checkpoint):
+    """Draft == target ⇒ greedy proposals always match ⇒ acceptance 100%."""
+    path, hf = hf_checkpoint
+    spec = SpeculativeConfig(
+        draft_model=ModelConfig.from_hf_config(path, dtype="float32",
+                                               max_model_len=128),
+        num_speculative_tokens=3,
+    )
+    llm = LLM(_config(path, speculative=spec))
+    prompt = [11, 22, 33, 44, 55]
+    out = llm.generate([prompt], [GREEDY(12)])[0]
+    assert out.outputs[0].token_ids == _hf_greedy(hf, prompt, 12)
+    stats = llm.get_stats()["spec_decode"]
+    assert stats.acceptance_rate == pytest.approx(1.0)
+
+
+def test_spec_decode_sampled_runs(hf_checkpoint, tmp_path_factory):
+    path, _ = hf_checkpoint
+    draft_path = _draft_checkpoint(tmp_path_factory, seed=7)
+    spec = SpeculativeConfig(
+        draft_model=ModelConfig.from_hf_config(draft_path, dtype="float32",
+                                               max_model_len=128),
+        num_speculative_tokens=2,
+    )
+    llm = LLM(_config(path, speculative=spec))
+    sp = SamplingParams(max_tokens=10, temperature=0.7, top_p=0.95, ignore_eos=True)
+    out = llm.generate([[1, 2, 3]], [sp])[0]
+    assert len(out.outputs[0].token_ids) == 10

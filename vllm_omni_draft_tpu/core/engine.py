@@ -1,0 +1,101 @@
+"""EngineCore: the step loop.
+
+Rebuilds the reference's EngineCore surface (`src/doc/engine_core.md:70-127`,
+`src/doc/VLLM_V1_Interface.md:36-92`): add_request / abort_requests /
+step() = schedule → execute → update, KV-cache initialization by HBM
+profiling, utility ops (stats, profiling), and an executor-failure
+callback hook. The executor/collective_rpc plane collapses into the
+single-controller runner — on TPU, XLA is the executor.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+from vllm_omni_draft_tpu.config import EngineConfig
+from vllm_omni_draft_tpu.core.request import Request
+from vllm_omni_draft_tpu.core.runner import ModelRunner
+from vllm_omni_draft_tpu.core.scheduler import Scheduler
+from vllm_omni_draft_tpu.utils.stats import IterationStats
+
+
+class EngineCore:
+    """In-process engine: scheduler + runner + step loop. Token-level only —
+    detokenization/streaming live in the client-side OutputProcessor, same
+    split as the reference (`engine_core.md:187-207`)."""
+
+    def __init__(
+        self,
+        config: EngineConfig,
+        executor_fail_callback: Callable[[Exception], None] | None = None,
+    ):
+        self.config = config
+        self.runner = ModelRunner(config, num_blocks=None)
+        self.scheduler = Scheduler(
+            config.scheduler,
+            config.cache,
+            self.runner.num_blocks,
+            config.speculative,
+        )
+        self.executor_fail_callback = executor_fail_callback
+        self.iteration_stats = IterationStats()
+
+    def add_request(self, request: Request) -> None:
+        self.scheduler.add_request(request)
+
+    def abort_requests(self, request_ids: list[str]) -> None:
+        aborted = self.scheduler.abort_requests(request_ids)
+        for req in aborted:
+            self.runner.release_slot(req)
+
+    def has_unfinished(self) -> bool:
+        return self.scheduler.has_unfinished()
+
+    def step(self) -> list[Request]:
+        """One engine iteration. Returns requests that got new tokens
+        (finished ones included; their status is already final)."""
+        t0 = time.perf_counter()
+        sched = self.scheduler.schedule()
+        if sched.is_empty:
+            return []
+        # slots of preempted requests are recycled before execution
+        for rid in sched.preempted_ids:
+            req = self.scheduler.requests.get(rid)
+            if req is not None:
+                self.runner.release_slot(req)
+        try:
+            runner_out = self.runner.execute(sched)
+        except Exception as e:
+            if self.executor_fail_callback is not None:
+                self.executor_fail_callback(e)
+            raise
+        updated = self.scheduler.update_from_output(sched, runner_out)
+        for req in updated:
+            if req.is_finished:
+                self.runner.release_slot(req)
+            if req.first_token_time is None:
+                req.first_token_time = time.monotonic()
+        self.iteration_stats = IterationStats(
+            num_prompt_tokens=sum(p.chunk_len for p in sched.prefills),
+            num_generation_tokens=sum(
+                len(t) for t in runner_out.new_tokens.values()
+            ),
+            step_time_s=time.perf_counter() - t0,
+        )
+        return updated
+
+    # utility ops (reference: "profiling, cache resets, state saving",
+    # engine_core.md:18)
+    def reset_prefix_cache(self) -> None:
+        kv = self.scheduler.kv
+        kv.pool.cached_free.clear()
+        kv.pool.cached_used.clear()
+        kv.pool.block_hash.clear()
+
+    def get_stats(self) -> dict:
+        return {
+            "scheduler": self.scheduler.stats,
+            "spec_decode": self.scheduler.spec_stats,
+            "iteration": self.iteration_stats,
+        }

@@ -1,0 +1,124 @@
+"""Offline LLM front end: `LLM.generate` / `LLM.chat`.
+
+The synchronous batch entrypoint the reference's perf harness drives
+(`llm.chat(...)` at `src/performance_enhancement/test_performance.py:155`):
+in-process EngineCore + client-side OutputProcessor, stepping until all
+requests finish.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from vllm_omni_draft_tpu.config import EngineConfig
+from vllm_omni_draft_tpu.core.engine import EngineCore
+from vllm_omni_draft_tpu.core.output_processor import OutputProcessor
+from vllm_omni_draft_tpu.core.request import (
+    Request,
+    RequestOutput,
+    SamplingParams,
+)
+from vllm_omni_draft_tpu.core.tokenizer import get_tokenizer
+
+_req_counter = itertools.count()
+
+
+class LLM:
+    def __init__(self, config: EngineConfig, tokenizer=None):
+        self.config = config
+        self.tokenizer = tokenizer if tokenizer is not None else get_tokenizer(
+            config.tokenizer
+        )
+        self.engine = EngineCore(config)
+        self.output_processor = OutputProcessor(
+            self.tokenizer, abort_fn=self._abort_from_stop
+        )
+        self._stop_hits: list[str] = []
+
+    def _abort_from_stop(self, request_ids: list[str]) -> None:
+        # requests already marked FINISHED_STOPPED by the output processor;
+        # release engine-side resources
+        for rid in request_ids:
+            req = self.engine.scheduler.requests.get(rid)
+            if req is not None:
+                self.engine.scheduler.finish_request(req, req.status)
+                self.engine.runner.release_slot(req)
+
+    # ------------------------------------------------------------------
+
+    def _add(self, prompt_token_ids: list[int], sp: SamplingParams, mm_inputs=None) -> Request:
+        if (
+            not sp.ignore_eos
+            and getattr(self.tokenizer, "eos_token_id", None) is not None
+            and self.tokenizer.eos_token_id not in sp.stop_token_ids
+        ):
+            sp.stop_token_ids = sp.stop_token_ids + (self.tokenizer.eos_token_id,)
+        req = Request(
+            request_id=f"req-{next(_req_counter)}",
+            prompt_token_ids=list(prompt_token_ids),
+            sampling_params=sp,
+            mm_inputs=mm_inputs,
+        )
+        self.engine.add_request(req)
+        self.output_processor.add_request(req)
+        return req
+
+    def generate(
+        self,
+        prompts,
+        sampling_params: SamplingParams | list[SamplingParams] | None = None,
+        mm_inputs=None,
+    ) -> list[RequestOutput]:
+        """prompts: list of strings or list of token-id lists."""
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        n = len(prompts)
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        sps = (
+            list(sampling_params)
+            if isinstance(sampling_params, (list, tuple))
+            else [sampling_params] * n
+        )
+        if len(sps) != n:
+            raise ValueError("len(sampling_params) != len(prompts)")
+        mms = mm_inputs if mm_inputs is not None else [None] * n
+        reqs = []
+        for p, sp, mm in zip(prompts, sps, mms):
+            ids = self.tokenizer.encode(p) if isinstance(p, str) else list(p)
+            reqs.append(self._add(ids, sp, mm))
+        finals: dict[str, RequestOutput] = {}
+        while self.engine.has_unfinished():
+            updated = self.engine.step()
+            for out in self.output_processor.process_outputs(updated):
+                if out.finished:
+                    finals[out.request_id] = out
+        # ignored requests (e.g. too-long prompts) never produce outputs
+        results = []
+        for req in reqs:
+            out = finals.get(req.request_id)
+            if out is None:
+                out = RequestOutput(
+                    request_id=req.request_id,
+                    prompt_token_ids=req.prompt_token_ids,
+                    outputs=[],
+                    finished=True,
+                )
+            results.append(out)
+        return results
+
+    def chat(
+        self, messages_list, sampling_params: SamplingParams | None = None
+    ) -> list[RequestOutput]:
+        """messages_list: list of chat conversations
+        ([{'role':..., 'content':...}, ...])."""
+        if messages_list and isinstance(messages_list[0], dict):
+            messages_list = [messages_list]
+        token_lists = [
+            self.tokenizer.apply_chat_template(m, add_generation_prompt=True)
+            for m in messages_list
+        ]
+        return self.generate(token_lists, sampling_params)
+
+    def get_stats(self) -> dict:
+        return self.engine.get_stats()

@@ -62,6 +62,10 @@ def write_kv(
         k_new = k_new.astype(k_cache.dtype)
         v_new = v_new.astype(v_cache.dtype)
     flat = slot_mapping.reshape(-1)  # [B*T]
+    # JAX .at[] wraps negative indices NumPy-style even under mode="drop",
+    # so -1 would silently hit the LAST slot; remap to one-past-the-end,
+    # which is genuinely out of bounds and therefore dropped.
+    flat = jnp.where(flat < 0, nb * bs, flat)
     k_flat = k_cache.reshape(nb * bs, h, d)
     v_flat = v_cache.reshape(nb * bs, h, d)
     k_flat = k_flat.at[flat].set(k_new.reshape(-1, h, d), mode="drop")
