@@ -1,0 +1,147 @@
+"""Benchmark driver: tokens/sec/chip decode throughput on a Qwen2.5-7B-
+shaped INT8 target with continuous batching (BASELINE ladder config 2),
+measured through the real engine (scheduler + runner + paged KV).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: the reference's measured vLLM TPOT is 0.0101 s/token at bs8
+(A100-class GPU; BASELINE.md "vLLM Qwen2.5-VL TPOT") -> 8/0.0101 =
+792 tok/s aggregate. We report ours / 792.
+
+Env knobs: VOT_BENCH_LAYERS, VOT_BENCH_BATCH, VOT_BENCH_STEPS,
+VOT_BENCH_QUANT (int8|int4|none), VOT_BENCH_SPEC=1 (add draft + spec loop).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from vllm_omni_draft_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        SchedulerConfig,
+        SpeculativeConfig,
+    )
+    from vllm_omni_draft_tpu.core.engine import EngineCore
+    from vllm_omni_draft_tpu.core.request import Request, SamplingParams
+
+    layers = int(os.environ.get("VOT_BENCH_LAYERS", "28"))
+    B = int(os.environ.get("VOT_BENCH_BATCH", "8"))
+    steps = int(os.environ.get("VOT_BENCH_STEPS", "20"))
+    quant = os.environ.get("VOT_BENCH_QUANT", "int8")
+    quant = None if quant in ("none", "") else quant
+    use_spec = os.environ.get("VOT_BENCH_SPEC", "0") == "1"
+    prompt_len = int(os.environ.get("VOT_BENCH_PROMPT", "128"))
+    max_model_len = 512
+
+    target = ModelConfig(
+        vocab_size=151_936,
+        hidden_size=3584,
+        intermediate_size=18944,
+        num_layers=layers,
+        num_heads=28,
+        num_kv_heads=4,
+        head_dim=128,
+        max_model_len=max_model_len,
+        dtype="bfloat16",
+        quantization=quant,
+    )
+    spec = None
+    if use_spec:
+        draft = ModelConfig(
+            vocab_size=151_936,
+            hidden_size=896,
+            intermediate_size=4864,
+            num_layers=max(layers // 4, 2),
+            num_heads=14,
+            num_kv_heads=2,
+            head_dim=64,
+            max_model_len=max_model_len,
+            dtype="bfloat16",
+        )
+        spec = SpeculativeConfig(draft_model=draft, num_speculative_tokens=4)
+
+    cfg = EngineConfig(
+        model=target,
+        cache=CacheConfig(block_size=16, gpu_memory_utilization=0.85),
+        scheduler=SchedulerConfig(
+            max_num_seqs=B,
+            max_num_batched_tokens=max(prompt_len, 256),
+            prefill_buckets=(prompt_len,),
+            max_model_len=max_model_len,
+        ),
+        speculative=spec,
+        seed=0,
+    )
+
+    t0 = time.perf_counter()
+    engine = EngineCore(cfg)
+    log(f"engine up in {time.perf_counter()-t0:.1f}s; "
+        f"num_blocks={engine.runner.num_blocks} layers={layers} quant={quant} "
+        f"spec={use_spec}")
+
+    rng = np.random.default_rng(0)
+    sp = SamplingParams(max_tokens=4096, temperature=0.0, ignore_eos=True)
+    for i in range(B):
+        engine.add_request(
+            Request(
+                request_id=f"bench-{i}",
+                prompt_token_ids=rng.integers(1, 150_000, size=prompt_len).tolist(),
+                sampling_params=sp,
+            )
+        )
+
+    # prefill + first decodes (compile happens here)
+    t0 = time.perf_counter()
+    warm = 0
+    while warm < 3:
+        updated = engine.step()
+        if updated and all(r.output_token_ids for r in updated):
+            warm += 1
+    log(f"warmup (incl. compile) {time.perf_counter()-t0:.1f}s")
+
+    # steady-state decode
+    gen0 = sum(len(r.output_token_ids) for r in engine.scheduler.requests.values())
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        engine.step()
+    dt = time.perf_counter() - t0
+    gen1 = sum(len(r.output_token_ids) for r in engine.scheduler.requests.values())
+    toks = gen1 - gen0
+    tps = toks / dt
+    log(f"{toks} tokens in {dt:.2f}s over {steps} steps "
+        f"({dt/steps*1000:.1f} ms/step, batch={B})")
+    if use_spec:
+        s = engine.scheduler.spec_stats
+        log(f"spec acceptance={s.acceptance_rate:.2f} "
+            f"tokens/step={s.mean_tokens_per_step:.2f}")
+
+    baseline_tps = 8 / 0.0101  # reference TPOT at bs8 (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": f"decode_tokens_per_sec_per_chip_qwen7b_{quant or 'bf16'}"
+                + ("_spec" if use_spec else ""),
+                "value": round(tps, 1),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(tps / baseline_tps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

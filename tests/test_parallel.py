@@ -1,0 +1,124 @@
+"""Tensor/data-parallel sharding tests on the 8-device virtual CPU mesh —
+the multi-host fake-mesh coverage the reference lacks (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vllm_omni_draft_tpu.config import ModelConfig, ParallelConfig
+from vllm_omni_draft_tpu.models import qwen2
+from vllm_omni_draft_tpu.models.weights import quantize_params
+from vllm_omni_draft_tpu.ops.attention import AttentionMetadata
+from vllm_omni_draft_tpu.parallel import sharding as shd
+from vllm_omni_draft_tpu.parallel.mesh import make_mesh
+
+
+def _tiny_cfg(**kw):
+    # dims divisible by tp=4: heads 8, kv heads 4, hidden 64, ffn 128
+    return ModelConfig.tiny(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_heads=8,
+        num_kv_heads=4,
+        head_dim=8,
+        **kw,
+    )
+
+
+def _prefill_meta(B, T, block_size, max_blocks):
+    nb = -(-T // block_size)
+    table = np.zeros((B, max_blocks), np.int32)
+    slots = np.zeros((B, T), np.int32)
+    for b in range(B):
+        table[b, :nb] = np.arange(1 + b * nb, 1 + (b + 1) * nb)
+        for t in range(T):
+            slots[b, t] = table[b, t // block_size] * block_size + t % block_size
+    return AttentionMetadata(
+        block_tables=jnp.asarray(table),
+        kv_lens=jnp.full((B,), T, jnp.int32),
+        positions=jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T)),
+        slot_mapping=jnp.asarray(slots),
+    )
+
+
+@pytest.mark.parametrize("quant", [None, "int8", "int4"])
+def test_tp_sharded_forward_matches_unsharded(mesh8, quant):
+    cfg = _tiny_cfg(quantization=quant, quant_group_size=32)
+    params = qwen2.init_params(cfg)
+    if quant:
+        params = quantize_params(params, quant, 32)
+    fwd = qwen2.make_forward(cfg)
+
+    B, T = 2, 10
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 512, size=(B, T)), jnp.int32)
+    meta = _prefill_meta(B, T, 8, 8)
+
+    kv = qwen2.init_kv_cache(cfg, num_blocks=32, block_size=8)
+    hidden_ref, kv_ref = fwd(params, tokens, meta.positions, kv, meta)
+    logits_ref = qwen2.compute_logits(cfg, params, hidden_ref.reshape(-1, 64))
+
+    # sharded
+    mesh = make_mesh(ParallelConfig(tensor_parallel_size=4, data_parallel_size=2))
+    params_s = shd.shard_params(params, mesh)
+    kv_s = shd.shard_kv_cache(qwen2.init_kv_cache(cfg, 32, 8), mesh)
+    fwd_jit = jax.jit(fwd)
+    hidden_s, kv_s2 = fwd_jit(params_s, tokens, meta.positions, kv_s, meta)
+    logits_s = qwen2.compute_logits(cfg, params_s, hidden_s.reshape(-1, 64))
+
+    np.testing.assert_allclose(
+        np.asarray(logits_s), np.asarray(logits_ref), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(kv_s2["k"]), np.asarray(kv_ref["k"]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_param_sharding_specs_cover_all_leaves(mesh8):
+    cfg = _tiny_cfg(quantization="int4", quant_group_size=32)
+    params = qwen2.init_params(cfg)
+    params = quantize_params(params, "int4", 32)
+    shardings = shd.param_shardings(
+        make_mesh(ParallelConfig(tensor_parallel_size=4, data_parallel_size=2)),
+        params,
+    )
+    # every leaf gets a sharding; sharded dims divide evenly
+    for (path, leaf), (_, s) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(shardings)[0],
+    ):
+        spec = s.spec
+        for dim, axis in enumerate(spec):
+            if axis is not None:
+                assert leaf.shape[dim] % 4 == 0, (path, leaf.shape, spec)
+
+
+def test_dp_sharded_batch_decode(mesh8):
+    """Decode step with the batch dim sharded over dp and weights over tp."""
+    cfg = _tiny_cfg()
+    params = qwen2.init_params(cfg)
+    fwd = qwen2.make_forward(cfg)
+    mesh = make_mesh(ParallelConfig(tensor_parallel_size=4, data_parallel_size=2))
+    params_s = shd.shard_params(params, mesh)
+    kv_s = shd.shard_kv_cache(qwen2.init_kv_cache(cfg, 32, 8), mesh)
+
+    B = 4
+    table = np.zeros((B, 8), np.int32)
+    for b in range(B):
+        table[b, 0] = 1 + b
+    meta = AttentionMetadata(
+        block_tables=jnp.asarray(table),
+        kv_lens=jnp.ones((B,), jnp.int32),
+        positions=jnp.zeros((B, 1), jnp.int32),
+        slot_mapping=jnp.asarray(table[:, :1] * 8),
+    )
+    tokens = jnp.asarray(np.arange(B)[:, None], jnp.int32)
+    batch_sharding = NamedSharding(mesh, P("dp", None))
+    tokens = jax.device_put(tokens, batch_sharding)
+
+    hidden, _ = jax.jit(fwd)(params_s, tokens, meta.positions, kv_s, meta)
+    assert hidden.shape == (B, 1, 64)
+    assert not np.any(np.isnan(np.asarray(hidden)))

@@ -31,6 +31,8 @@ from vllm_omni_draft_tpu.core.scheduler import RunnerOutput, SchedulerOutput
 from vllm_omni_draft_tpu.models import get_model
 from vllm_omni_draft_tpu.models.weights import load_params, quantize_params
 from vllm_omni_draft_tpu.ops.attention import AttentionMetadata
+from vllm_omni_draft_tpu.parallel import sharding as shd
+from vllm_omni_draft_tpu.parallel.mesh import TP_AXIS, make_mesh
 from vllm_omni_draft_tpu.ops.rejection import rejection_sample_dispatch
 from vllm_omni_draft_tpu.ops.sampling import compute_probs, sample_from_probs
 
@@ -48,10 +50,17 @@ def _build_params(cfg: ModelConfig):
     mod = get_model(cfg.model)
     if cfg.checkpoint_dir:
         params = load_params(cfg)
+        if cfg.quantization:
+            params = quantize_params(params, cfg.quantization, cfg.quant_group_size)
+    elif cfg.quantization and hasattr(mod, "init_params_quantized"):
+        # random synthetic weights: init directly quantized (no f32
+        # transient); one jit call = one device dispatch (per-leaf RNG
+        # dispatches are slow over remote-compile tunnels)
+        params = jax.jit(lambda: mod.init_params_quantized(cfg))()
     else:
-        params = mod.init_params(cfg)
-    if cfg.quantization:
-        params = quantize_params(params, cfg.quantization, cfg.quant_group_size)
+        params = jax.jit(lambda: mod.init_params(cfg))()
+        if cfg.quantization:
+            params = quantize_params(params, cfg.quantization, cfg.quant_group_size)
     return mod, params
 
 
@@ -108,23 +117,28 @@ class ModelRunner:
         self.NB = -(-(config.model.max_model_len + self.K) // self.block_size)
         self.buckets = sched.prefill_buckets
 
+        # device mesh: TP shards the target over ICI; the draft is
+        # replicated (BASELINE.json: per-host draft replicas)
+        self.mesh = make_mesh(config.parallel) if config.parallel.world_size > 1 else None
+
         self.target_mod, self.target_params = _build_params(config.model)
         self.target_fwd = self.target_mod.make_forward(config.model)
+        if self.mesh is not None:
+            self.target_params = shd.shard_params(self.target_params, self.mesh)
         self.draft_cfg = config.speculative.draft_model if config.speculative else None
         if self.draft_cfg is not None:
             self.draft_mod, self.draft_params = _build_params(self.draft_cfg)
             self.draft_fwd = self.draft_mod.make_forward(self.draft_cfg)
+            if self.mesh is not None:
+                self.draft_params = shd.replicate(self.draft_params, self.mesh)
         # profile free HBM *after* weights are resident
         self.num_blocks = num_blocks if num_blocks is not None else determine_num_blocks(config)
-        self.kv_t = self.target_mod.init_kv_cache(
-            config.model, self.num_blocks, self.block_size
+        self.kv_t = self._make_kv(self.target_mod, config.model)
+        self.kv_d = (
+            self._make_kv(self.draft_mod, self.draft_cfg)
+            if self.draft_cfg is not None
+            else None
         )
-        if self.draft_cfg is not None:
-            self.kv_d = self.draft_mod.init_kv_cache(
-                self.draft_cfg, self.num_blocks, self.block_size
-            )
-        else:
-            self.kv_d = None
 
         # host-side slot state
         self.block_tables = np.zeros((self.B, self.NB), np.int32)
@@ -140,6 +154,22 @@ class ModelRunner:
 
         self._build_fns()
         self.last_step_time = 0.0
+
+    def _make_kv(self, mod, mcfg) -> dict:
+        """Allocate the paged KV cache, sharded over kv-heads on the TP
+        axis when on a mesh (created *directly* sharded — no transient
+        full-size allocation on one device)."""
+        if self.mesh is None:
+            return mod.init_kv_cache(mcfg, self.num_blocks, self.block_size)
+        tp = self.mesh.shape[TP_AXIS]
+        if mcfg.num_kv_heads % tp == 0:
+            s = shd.kv_cache_sharding(self.mesh)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            s = NamedSharding(self.mesh, P(None, None, None, None, None))
+        make = lambda: mod.init_kv_cache(mcfg, self.num_blocks, self.block_size)
+        return jax.jit(make, out_shardings={"k": s, "v": s})()
 
     # ------------------------------------------------------------------
     # compiled programs

@@ -82,6 +82,52 @@ def init_params(cfg: ModelConfig, key: jax.Array | None = None) -> dict:
     return params
 
 
+def init_params_quantized(cfg: ModelConfig, key: jax.Array | None = None) -> dict:
+    """Random-init directly in quantized form (int8 / int4) — no float32
+    transient, so 7B+ shapes fit in HBM during bench/profiling setup."""
+    assert cfg.quantization in ("int8", "int4"), cfg.quantization
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    dt = _dtype(cfg)
+    D, F, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    L = cfg.num_layers
+    G = min(cfg.quant_group_size, D)
+    ks = iter(jax.random.split(key, 24))
+    int4 = cfg.quantization == "int4"
+
+    def qw(shape, fan_in):
+        O, I = shape[-2], shape[-1]
+        scale_mag = 1.0 / (127.0 * math.sqrt(fan_in))
+        if int4:
+            w = jax.random.randint(next(ks), (*shape[:-1], I // 2), 0, 256, jnp.uint8)
+            g = min(G, I)
+            s = jnp.full((*shape[:-2], O, I // g), 1.0 / (7.0 * math.sqrt(fan_in)),
+                         jnp.float32)
+        else:
+            w = jax.random.randint(next(ks), shape, -127, 128, jnp.int8)
+            s = jnp.full((*shape[:-2], O, 1), scale_mag, jnp.float32)
+        return {"w": w, "s": s}
+
+    params = {
+        "embed": (jax.random.normal(next(ks), (V, D), dt) / math.sqrt(D)),
+        "layers": {
+            "ln1": jnp.ones((L, D), dt),
+            "q": {**qw((L, Hq * Dh, D), D), "b": jnp.zeros((L, Hq * Dh), dt)},
+            "k": {**qw((L, Hkv * Dh, D), D), "b": jnp.zeros((L, Hkv * Dh), dt)},
+            "v": {**qw((L, Hkv * Dh, D), D), "b": jnp.zeros((L, Hkv * Dh), dt)},
+            "o": qw((L, D, Hq * Dh), Hq * Dh),
+            "ln2": jnp.ones((L, D), dt),
+            "gate": qw((L, F, D), D),
+            "up": qw((L, F, D), D),
+            "down": qw((L, D, F), F),
+        },
+        "final_norm": jnp.ones((D,), dt),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = qw((V, D), D)
+    return params
+
+
 def init_kv_cache(
     cfg: ModelConfig, num_blocks: int, block_size: int
 ) -> dict:
