@@ -81,6 +81,7 @@ def main():
             max_num_seqs=B,
             max_num_batched_tokens=max(prompt_len, 256),
             prefill_buckets=(prompt_len,),
+            decode_steps=int(os.environ.get("VOT_BENCH_DECODE_STEPS", "8")),
             max_model_len=max_model_len,
         ),
         speculative=spec,

@@ -91,7 +91,7 @@ def test_int4_pack_unpack_exact():
     rng = np.random.default_rng(0)
     vals = rng.integers(-8, 8, size=(4, 32)).astype(np.int32)
     u = (vals + 8).astype(np.uint8)
-    packed = jnp.asarray(u[:, 0::2] | (u[:, 1::2] << 4))
+    packed = jnp.asarray(u[:, :16] | (u[:, 16:] << 4))  # split-half layout
     unpacked = np.asarray(q.unpack_int4(packed))
     np.testing.assert_array_equal(unpacked, vals)
 

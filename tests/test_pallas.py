@@ -1,0 +1,109 @@
+"""Pallas kernel parity tests (interpret mode on CPU) against the XLA
+reference implementations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_omni_draft_tpu.ops import quant as q
+from vllm_omni_draft_tpu.ops.attention import AttentionMetadata, paged_attention
+
+
+def _random_cache_state(key, B, T, NB, BS, Hkv, D, kv_dtype=jnp.float32,
+                        min_len=1):
+    ks = jax.random.split(key, 4)
+    k_cache = jax.random.normal(ks[0], (NB, BS, Hkv, D), jnp.float32)
+    v_cache = jax.random.normal(ks[1], (NB, BS, Hkv, D), jnp.float32)
+    if kv_dtype != jnp.float32:
+        k_cache = k_cache.astype(kv_dtype)
+        v_cache = v_cache.astype(kv_dtype)
+    max_blocks = NB // B
+    rng = np.random.default_rng(0)
+    kv_lens = rng.integers(max(T, min_len), max_blocks * BS, size=B).astype(np.int32)
+    tables = np.zeros((B, max_blocks), np.int32)
+    used = list(range(1, NB))
+    rng.shuffle(used)
+    it = iter(used)
+    for b in range(B):
+        for i in range(-(-int(kv_lens[b]) // BS)):
+            tables[b, i] = next(it)
+    positions = kv_lens[:, None] - T + np.arange(T)[None, :]
+    meta = AttentionMetadata(
+        block_tables=jnp.asarray(tables),
+        kv_lens=jnp.asarray(kv_lens),
+        positions=jnp.asarray(positions.astype(np.int32)),
+        slot_mapping=jnp.full((B, T), -1, jnp.int32),
+    )
+    return k_cache, v_cache, meta
+
+
+@pytest.mark.parametrize("T", [1, 4])
+@pytest.mark.parametrize("gqa", [(8, 8), (8, 2)])
+def test_paged_attention_kernel_interpret_matches_reference(T, gqa, monkeypatch):
+    from vllm_omni_draft_tpu.ops.pallas import paged_attention as pa
+    import jax.experimental.pallas as pl
+
+    # run the kernel in interpreter mode on CPU
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **kw: orig_call(*a, **{**kw, "interpret": True})
+    )
+
+    Hq, Hkv = gqa
+    B, D, BS, NB = 3, 64, 8, 32
+    key = jax.random.PRNGKey(0)
+    qarr = jax.random.normal(key, (B, T, Hq, D), jnp.float32)
+    k_cache, v_cache, meta = _random_cache_state(
+        jax.random.PRNGKey(1), B, T, NB, BS, Hkv, D
+    )
+    scale = D ** -0.5
+    ref = paged_attention(qarr, k_cache, v_cache, meta, scale)
+    got = pa.paged_attention_pallas(
+        qarr, k_cache, v_cache, meta.block_tables, meta.kv_lens, scale,
+        chunk_blocks=2,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_attention_kernel_inactive_rows(monkeypatch):
+    from vllm_omni_draft_tpu.ops.pallas import paged_attention as pa
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **kw: orig_call(*a, **{**kw, "interpret": True})
+    )
+    B, T, Hq, Hkv, D, BS, NB = 2, 1, 4, 2, 64, 8, 16
+    qarr = jax.random.normal(jax.random.PRNGKey(0), (B, T, Hq, D), jnp.float32)
+    k_cache, v_cache, meta = _random_cache_state(
+        jax.random.PRNGKey(1), B, T, NB, BS, Hkv, D
+    )
+    kv_lens = jnp.asarray([int(meta.kv_lens[0]), 0], jnp.int32)  # row 1 inactive
+    out = pa.paged_attention_pallas(
+        qarr, k_cache, v_cache, meta.block_tables, kv_lens, D ** -0.5,
+        chunk_blocks=2,
+    )
+    assert not np.any(np.isnan(np.asarray(out)))
+    np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
+
+
+def test_paged_attention_kernel_fp8(monkeypatch):
+    from vllm_omni_draft_tpu.ops.pallas import paged_attention as pa
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **kw: orig_call(*a, **{**kw, "interpret": True})
+    )
+    B, T, Hq, Hkv, D, BS, NB = 2, 1, 4, 2, 64, 8, 16
+    qarr = jax.random.normal(jax.random.PRNGKey(0), (B, T, Hq, D), jnp.float32)
+    k_cache, v_cache, meta = _random_cache_state(
+        jax.random.PRNGKey(1), B, T, NB, BS, Hkv, D, kv_dtype=q.FP8_DTYPE
+    )
+    ref = paged_attention(qarr, k_cache, v_cache, meta, D ** -0.5, kv_scale=1.0)
+    got = pa.paged_attention_pallas(
+        qarr, k_cache, v_cache, meta.block_tables, meta.kv_lens, D ** -0.5,
+        kv_scale=1.0, chunk_blocks=2,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)

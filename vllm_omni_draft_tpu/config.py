@@ -151,6 +151,12 @@ class SchedulerConfig:
     max_num_batched_tokens: int = 1024  # per-step token budget
     max_model_len: int = 8192
     enable_chunked_prefill: bool = True
+    # fused decode iterations per device call (device-side token feedback;
+    # amortizes host dispatch/sync — essential on TPU where per-call
+    # latency would otherwise dominate small decode steps). Requests may
+    # overshoot stop conditions by up to decode_steps-1 iterations; the
+    # scheduler truncates.
+    decode_steps: int = 1
     # token-count buckets for static shapes (pad prefill chunks up)
     prefill_buckets: tuple[int, ...] = (64, 256, 1024)
 

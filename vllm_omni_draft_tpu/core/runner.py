@@ -33,7 +33,10 @@ from vllm_omni_draft_tpu.models.weights import load_params, quantize_params
 from vllm_omni_draft_tpu.ops.attention import AttentionMetadata
 from vllm_omni_draft_tpu.parallel import sharding as shd
 from vllm_omni_draft_tpu.parallel.mesh import TP_AXIS, make_mesh
-from vllm_omni_draft_tpu.ops.rejection import rejection_sample_dispatch
+from vllm_omni_draft_tpu.ops.rejection import (
+    rejection_greedy,
+    rejection_sample_dispatch,
+)
 from vllm_omni_draft_tpu.ops.sampling import compute_probs, sample_from_probs
 
 
@@ -78,11 +81,16 @@ def _kv_bytes_per_block(cfg: EngineConfig, block_size: int) -> int:
     return total
 
 
-def determine_num_blocks(cfg: EngineConfig) -> int:
+_TPU_HBM_FALLBACK_BYTES = 16 * 1024**3  # v5e/v5-lite per-chip HBM
+
+
+def determine_num_blocks(cfg: EngineConfig, resident_bytes: int = 0) -> int:
     """TPU analog of the reference's KV-init protocol
     (determine_available_memory → num_gpu_blocks,
     `src/doc/VLLM_V1_Interface.md:57-64`): read HBM stats after weights are
-    resident, carve the block pool from what's left."""
+    resident, carve the block pool from what's left. When the runtime
+    exposes no stats (e.g. tunneled plugins), fall back to the known
+    per-chip HBM size minus the measured parameter bytes."""
     if cfg.cache.num_blocks is not None:
         return cfg.cache.num_blocks
     dev = jax.devices()[0]
@@ -91,13 +99,19 @@ def determine_num_blocks(cfg: EngineConfig) -> int:
         stats = dev.memory_stats()
     except Exception:
         pass
-    if not stats or "bytes_limit" not in stats:
-        return _DEFAULT_NUM_BLOCKS
-    free = (
-        stats["bytes_limit"] * cfg.cache.gpu_memory_utilization
-        - stats.get("bytes_in_use", 0)
-    )
     per_block = _kv_bytes_per_block(cfg, cfg.cache.block_size)
+    if stats and "bytes_limit" in stats:
+        free = (
+            stats["bytes_limit"] * cfg.cache.gpu_memory_utilization
+            - stats.get("bytes_in_use", 0)
+        )
+    elif jax.default_backend() == "tpu":
+        free = (
+            _TPU_HBM_FALLBACK_BYTES * cfg.cache.gpu_memory_utilization
+            - resident_bytes
+        )
+    else:
+        return _DEFAULT_NUM_BLOCKS
     return max(int(free) // per_block, 16)
 
 
@@ -112,9 +126,13 @@ class ModelRunner:
         self.K = (
             config.speculative.num_speculative_tokens if config.speculative else 0
         )
-        # verify writes KV up to position (len-1)+K, so the table needs
-        # headroom of K positions past max_model_len
-        self.NB = -(-(config.model.max_model_len + self.K) // self.block_size)
+        self.M = max(1, sched.decode_steps)  # fused decode iters per call
+        # a fused call advances up to M*(K+1) tokens, writing KV up to
+        # position len-1 + M*(K+1)-1: give the table that much headroom
+        self.NB = -(
+            -(config.model.max_model_len + self.M * (self.K + 1))
+            // self.block_size
+        )
         self.buckets = sched.prefill_buckets
 
         # device mesh: TP shards the target over ICI; the draft is
@@ -132,7 +150,15 @@ class ModelRunner:
             if self.mesh is not None:
                 self.draft_params = shd.replicate(self.draft_params, self.mesh)
         # profile free HBM *after* weights are resident
-        self.num_blocks = num_blocks if num_blocks is not None else determine_num_blocks(config)
+        if num_blocks is not None:
+            self.num_blocks = num_blocks
+        else:
+            from vllm_omni_draft_tpu.models.weights import param_bytes
+
+            resident = param_bytes(self.target_params)
+            if self.draft_cfg is not None:
+                resident += param_bytes(self.draft_params)
+            self.num_blocks = determine_num_blocks(config, resident)
         self.kv_t = self._make_kv(self.target_mod, config.model)
         self.kv_d = (
             self._make_kv(self.draft_mod, self.draft_cfg)
@@ -224,63 +250,103 @@ class ModelRunner:
             return sample_from_probs(probs, key)[0]
 
         self._sample_fn = jit(sample_one)
+        self._argmax_fn = jit(lambda logits: jnp.argmax(logits, -1).astype(jnp.int32))
 
-        def decode(params, kv, last_tokens, seq_lens, block_tables,
-                   temps, top_ks, top_ps, key):
-            positions = (seq_lens - 1)[:, None]  # [B, 1]; -1 for empty slots
+        M = self.M
+
+        def _decode_iter(params, kv, cur, lens, block_tables, pick_token):
+            """One decode iteration: forward the current tokens, pick next."""
+            active = lens > 0
+            positions = jnp.where(active[:, None], (lens - 1)[:, None], -1)
             meta = AttentionMetadata(
                 block_tables=block_tables,
-                kv_lens=seq_lens,
+                kv_lens=jnp.where(active, lens, 0),
                 positions=positions,
                 slot_mapping=_slots_from_positions(block_tables, positions, bs),
             )
-            hidden, kv = self.target_fwd(
-                params, last_tokens[:, None], positions, kv, meta
-            )
+            hidden, kv = self.target_fwd(params, cur[:, None], positions, kv, meta)
             logits = self.target_mod.compute_logits(cfg, params, hidden[:, 0])
-            probs = compute_probs(logits, temps, top_ks, top_ps)
-            toks = sample_from_probs(probs, key)
-            return toks, kv
+            tok = pick_token(logits)
+            lens = jnp.where(active, lens + 1, lens)
+            return kv, tok, lens
+
+        def decode(params, kv, last_tokens, seq_lens, block_tables,
+                   temps, top_ks, top_ps, key):
+            """M fused decode iterations, device-side token feedback."""
+
+            def body(carry, i):
+                kv, cur, lens = carry
+                def pick(logits):
+                    probs = compute_probs(logits, temps, top_ks, top_ps)
+                    return sample_from_probs(probs, jax.random.fold_in(key, i))
+                kv, tok, lens = _decode_iter(params, kv, cur, lens,
+                                             block_tables, pick)
+                return (kv, tok, lens), tok
+
+            (kv, _, _), toks = jax.lax.scan(
+                body, (kv, last_tokens, seq_lens), jnp.arange(M, dtype=jnp.int32)
+            )
+            return toks.T, kv  # [B, M]
 
         self._decode_fn = jit(decode, donate_argnums=(1,))
+
+        def decode_greedy(params, kv, last_tokens, seq_lens, block_tables):
+            """All-greedy batch: argmax feedback, no sampler."""
+
+            def body(carry, i):
+                kv, cur, lens = carry
+                pick = lambda logits: jnp.argmax(logits, -1).astype(jnp.int32)
+                kv, tok, lens = _decode_iter(params, kv, cur, lens,
+                                             block_tables, pick)
+                return (kv, tok, lens), tok
+
+            (kv, _, _), toks = jax.lax.scan(
+                body, (kv, last_tokens, seq_lens), jnp.arange(M, dtype=jnp.int32)
+            )
+            return toks.T, kv
+
+        self._decode_greedy_fn = jit(decode_greedy, donate_argnums=(1,))
 
         if self.draft_cfg is None or K == 0:
             return
         dcfg = self.draft_cfg
 
-        def spec_step(params_t, params_d, kv_t, kv_d, prev_tokens, last_tokens,
-                      seq_lens, block_tables, temps, top_ks, top_ps, key):
-            B = last_tokens.shape[0]
-            key_d, key_r = jax.random.split(key)
-            active = seq_lens > 0
+        def _spec_iter(params_t, params_d, kv_t, kv_d, prev, last, lens,
+                       block_tables, greedy, temps, top_ks, top_ps, key_i):
+            """One draft-propose(K)/verify/reject iteration. Returns
+            (kv_t, kv_d, out_toks [B,K+1], num_emitted [B])."""
+            B = last.shape[0]
+            active = lens > 0
 
-            # ---- draft iteration 0: feed the last TWO tokens ----
-            # After an all-accept step the draft never saw its own last
-            # proposal (it was emitted, not fed back), so its KV at
-            # position s-2 may be a hole. Re-deriving it is idempotent
-            # when present and fills it when missing.
-            pos0 = (seq_lens - 2)[:, None] + jnp.arange(2, dtype=jnp.int32)
+            # draft iteration 0 feeds the last TWO tokens: after an
+            # all-accept step the draft never saw its own last proposal,
+            # so its KV one position back may be a hole; re-deriving is
+            # idempotent when present and fills it when missing.
+            pos0 = (lens - 2)[:, None] + jnp.arange(2, dtype=jnp.int32)
             pos0 = jnp.where(active[:, None], pos0, -1)
             meta0 = AttentionMetadata(
                 block_tables=block_tables,
-                kv_lens=jnp.where(active, seq_lens, 0),
+                kv_lens=jnp.where(active, lens, 0),
                 positions=pos0,
                 slot_mapping=_slots_from_positions(block_tables, pos0, bs),
             )
-            toks0 = jnp.stack([prev_tokens, last_tokens], axis=1)  # [B, 2]
+            toks0 = jnp.stack([prev, last], axis=1)  # [B, 2]
             hidden0, kv_d = self.draft_fwd(params_d, toks0, pos0, kv_d, meta0)
             logits0 = self.draft_mod.compute_logits(dcfg, params_d, hidden0[:, 1])
-            q0 = compute_probs(logits0, temps, top_ks, top_ps)
-            d1 = sample_from_probs(q0, jax.random.fold_in(key_d, 0))
+            if greedy:
+                d1 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+                q0 = None
+            else:
+                q0 = compute_probs(logits0, temps, top_ks, top_ps)
+                d1 = sample_from_probs(q0, jax.random.fold_in(key_i, 0))
 
-            # ---- draft iterations 1..K-1 (scan; draft KV carried) ----
             def draft_body(carry, i):
                 kv_d, cur = carry
-                positions = (seq_lens - 1 + i)[:, None]
+                positions = (lens - 1 + i)[:, None]
                 positions = jnp.where(active[:, None], positions, -1)
                 meta = AttentionMetadata(
                     block_tables=block_tables,
-                    kv_lens=jnp.where(active, seq_lens + i, 0),
+                    kv_lens=jnp.where(active, lens + i, 0),
                     positions=positions,
                     slot_mapping=_slots_from_positions(block_tables, positions, bs),
                 )
@@ -288,50 +354,94 @@ class ModelRunner:
                     params_d, cur[:, None], positions, kv_d, meta
                 )
                 logits = self.draft_mod.compute_logits(dcfg, params_d, hidden[:, 0])
+                if greedy:
+                    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return (kv_d, tok), (tok, jnp.zeros((B, 1), jnp.float32))
                 q = compute_probs(logits, temps, top_ks, top_ps)
-                tok = sample_from_probs(q, jax.random.fold_in(key_d, i))
+                tok = sample_from_probs(q, jax.random.fold_in(key_i, i))
                 return (kv_d, tok), (tok, q)
 
             (kv_d, _), (draft_rest, q_rest) = jax.lax.scan(
                 draft_body, (kv_d, d1), jnp.arange(1, K, dtype=jnp.int32)
             )
-            draft_toks = jnp.concatenate(
-                [d1[:, None], draft_rest.T], axis=1
-            )  # [B, K]
-            q_probs = jnp.concatenate(
-                [q0[:, None, :], jnp.swapaxes(q_rest, 0, 1)], axis=1
-            )  # [B, K, V]
+            draft_toks = jnp.concatenate([d1[:, None], draft_rest.T], axis=1)
 
-            # ---- target verifies K+1 positions in one forward ----
-            verify_toks = jnp.concatenate([last_tokens[:, None], draft_toks], axis=1)
-            positions = (seq_lens - 1)[:, None] + jnp.arange(K + 1, dtype=jnp.int32)
-            positions = jnp.where(seq_lens[:, None] > 0, positions, -1)
+            # target verifies K+1 positions in one batched forward
+            verify_toks = jnp.concatenate([last[:, None], draft_toks], axis=1)
+            positions = (lens - 1)[:, None] + jnp.arange(K + 1, dtype=jnp.int32)
+            positions = jnp.where(active[:, None], positions, -1)
             meta = AttentionMetadata(
                 block_tables=block_tables,
-                kv_lens=jnp.where(seq_lens > 0, seq_lens + K, 0),
+                kv_lens=jnp.where(active, lens + K, 0),
                 positions=positions,
                 slot_mapping=_slots_from_positions(block_tables, positions, bs),
             )
-            hidden, kv_t = self.target_fwd(
-                params_t, verify_toks, positions, kv_t, meta
-            )
-            V = cfg.vocab_size
+            hidden, kv_t = self.target_fwd(params_t, verify_toks, positions, kv_t, meta)
             logits = self.target_mod.compute_logits(
                 cfg, params_t, hidden.reshape(B * (K + 1), -1)
             )
-            p_probs = compute_probs(
-                logits,
-                jnp.repeat(temps, K + 1),
-                jnp.repeat(top_ks, K + 1),
-                jnp.repeat(top_ps, K + 1),
-            ).reshape(B, K + 1, V)
+            if greedy:
+                tgt_argmax = (
+                    jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(B, K + 1)
+                )
+                out_toks, num_emitted = rejection_greedy(draft_toks, tgt_argmax)
+            else:
+                V = cfg.vocab_size
+                q_probs = jnp.concatenate(
+                    [q0[:, None, :], jnp.swapaxes(q_rest, 0, 1)], axis=1
+                )
+                p_probs = compute_probs(
+                    logits,
+                    jnp.repeat(temps, K + 1),
+                    jnp.repeat(top_ks, K + 1),
+                    jnp.repeat(top_ps, K + 1),
+                ).reshape(B, K + 1, V)
+                out_toks, num_emitted = rejection_sample_dispatch(
+                    draft_toks, q_probs, p_probs, jax.random.fold_in(key_i, 999)
+                )
+            # inactive rows emit nothing
+            num_emitted = jnp.where(active, num_emitted, 0)
+            return kv_t, kv_d, out_toks, num_emitted
 
-            out_toks, num_emitted = rejection_sample_dispatch(
-                draft_toks, q_probs, p_probs, key_r
-            )
-            return out_toks, num_emitted, kv_t, kv_d
+        def _spec_multi(greedy):
+            def fn(params_t, params_d, kv_t, kv_d, prev_tokens, last_tokens,
+                   seq_lens, block_tables, temps=None, top_ks=None,
+                   top_ps=None, key=None):
+                def body(carry, m):
+                    kv_t, kv_d, prev, last, lens = carry
+                    key_m = (
+                        jax.random.fold_in(key, m) if key is not None else None
+                    )
+                    kv_t, kv_d, out, n = _spec_iter(
+                        params_t, params_d, kv_t, kv_d, prev, last, lens,
+                        block_tables, greedy, temps, top_ks, top_ps, key_m,
+                    )
+                    active = lens > 0
+                    nn = jnp.maximum(n, 1)
+                    last_new = jnp.take_along_axis(out, (nn - 1)[:, None], axis=1)[:, 0]
+                    prev_new = jnp.where(
+                        nn >= 2,
+                        jnp.take_along_axis(
+                            out, jnp.maximum(nn - 2, 0)[:, None], axis=1
+                        )[:, 0],
+                        last,
+                    )
+                    last_new = jnp.where(active, last_new, last)
+                    prev_new = jnp.where(active, prev_new, prev)
+                    lens_new = jnp.where(active, lens + n, lens)
+                    return (kv_t, kv_d, prev_new, last_new, lens_new), (out, n)
 
-        self._spec_fn = jit(spec_step, donate_argnums=(2, 3))
+                carry = (kv_t, kv_d, prev_tokens, last_tokens, seq_lens)
+                (kv_t, kv_d, _, _, _), (outs, ns) = jax.lax.scan(
+                    body, carry, jnp.arange(M, dtype=jnp.int32)
+                )
+                # outs [M, B, K+1] -> [B, M, K+1]; ns [M, B] -> [B, M]
+                return jnp.swapaxes(outs, 0, 1), ns.T, kv_t, kv_d
+
+            return fn
+
+        self._spec_fn = jit(_spec_multi(False), donate_argnums=(2, 3))
+        self._spec_greedy_fn = jit(_spec_multi(True), donate_argnums=(2, 3))
 
     # ------------------------------------------------------------------
     # slot management
@@ -401,15 +511,18 @@ class ModelRunner:
                     bt,
                 )
             if sp.is_final_chunk and sp.sample_on_final:
-                tok = int(
-                    self._sample_fn(
-                        logits,
-                        jnp.float32(req.sampling_params.temperature),
-                        jnp.int32(req.sampling_params.top_k),
-                        jnp.float32(req.sampling_params.top_p),
-                        jax.random.fold_in(key, 1000 + i),
+                if req.sampling_params.is_greedy:
+                    tok = int(self._argmax_fn(logits))
+                else:
+                    tok = int(
+                        self._sample_fn(
+                            logits,
+                            jnp.float32(req.sampling_params.temperature),
+                            jnp.int32(req.sampling_params.top_k),
+                            jnp.float32(req.sampling_params.top_p),
+                            jax.random.fold_in(key, 1000 + i),
+                        )
                     )
-                )
                 out.new_tokens[req.request_id] = [tok]
                 self.last_tokens[req.slot] = tok
                 self.seq_lens[req.slot] = req.num_prompt_tokens + 1
@@ -430,40 +543,61 @@ class ModelRunner:
                 self.last_tokens[req.slot] = req.all_token_ids[-1]
                 self.prev_tokens[req.slot] = req.all_token_ids[-2]
             seq_lens = jnp.asarray(np.where(active, self.seq_lens, 0))
-            args = (
+            all_greedy = all(
+                req.sampling_params.is_greedy for req in sched.decodes
+            )
+            base_args = (
                 jnp.asarray(self.last_tokens),
                 seq_lens,
                 jnp.asarray(self.block_tables),
+            )
+            sample_args = (
                 jnp.asarray(self.temps),
                 jnp.asarray(self.top_ks),
                 jnp.asarray(self.top_ps),
                 key,
             )
             if self.K > 0 and self.kv_d is not None:
-                toks, num_emitted, self.kv_t, self.kv_d = self._spec_fn(
-                    self.target_params, self.draft_params, self.kv_t, self.kv_d,
-                    jnp.asarray(self.prev_tokens), *args
-                )
-                toks_np = np.asarray(toks)
-                n_np = np.asarray(num_emitted)
+                if all_greedy:
+                    toks, num_emitted, self.kv_t, self.kv_d = self._spec_greedy_fn(
+                        self.target_params, self.draft_params, self.kv_t,
+                        self.kv_d, jnp.asarray(self.prev_tokens), *base_args
+                    )
+                else:
+                    toks, num_emitted, self.kv_t, self.kv_d = self._spec_fn(
+                        self.target_params, self.draft_params, self.kv_t,
+                        self.kv_d, jnp.asarray(self.prev_tokens), *base_args,
+                        *sample_args
+                    )
+                toks_np = np.asarray(toks)  # [B, M, K+1]
+                n_np = np.asarray(num_emitted)  # [B, M]
                 for req in sched.decodes:
-                    n = int(n_np[req.slot])
-                    emitted = toks_np[req.slot, :n].tolist()
+                    emitted: list[int] = []
+                    acc = 0
+                    for m in range(self.M):
+                        n = int(n_np[req.slot, m])
+                        emitted.extend(toks_np[req.slot, m, :n].tolist())
+                        acc += max(n - 1, 0)
                     out.new_tokens[req.request_id] = emitted
-                    out.num_accepted[req.request_id] = n - 1
-                    out.num_draft[req.request_id] = self.K
+                    out.num_accepted[req.request_id] = acc
+                    out.num_draft[req.request_id] = self.K * self.M
                     self.last_tokens[req.slot] = emitted[-1]
-                    self.seq_lens[req.slot] += n
+                    self.seq_lens[req.slot] += len(emitted)
             else:
-                toks, self.kv_t = self._decode_fn(
-                    self.target_params, self.kv_t, *args
-                )
-                toks_np = np.asarray(toks)
+                if all_greedy:
+                    toks, self.kv_t = self._decode_greedy_fn(
+                        self.target_params, self.kv_t, *base_args
+                    )
+                else:
+                    toks, self.kv_t = self._decode_fn(
+                        self.target_params, self.kv_t, *base_args, *sample_args
+                    )
+                toks_np = np.asarray(toks)  # [B, M]
                 for req in sched.decodes:
-                    tok = int(toks_np[req.slot])
-                    out.new_tokens[req.request_id] = [tok]
-                    self.last_tokens[req.slot] = tok
-                    self.seq_lens[req.slot] += 1
+                    emitted = toks_np[req.slot].tolist()
+                    out.new_tokens[req.request_id] = emitted
+                    self.last_tokens[req.slot] = emitted[-1]
+                    self.seq_lens[req.slot] += len(emitted)
 
         self.last_step_time = time.perf_counter() - t0
         return out

@@ -160,7 +160,9 @@ class Scheduler:
                     )
                 )
             else:
-                need = 1 + k
+                # a fused decode call advances up to decode_steps*(1+k)
+                # tokens; budget and blocks must cover the worst case
+                need = self.config.decode_steps * (1 + k)
                 if budget < need:
                     continue  # leave for next step (still RUNNING)
                 new_blocks = self._allocate_or_preempt(

@@ -30,7 +30,11 @@ import jax.numpy as jnp
 from vllm_omni_draft_tpu.config import ModelConfig
 from vllm_omni_draft_tpu.models import register_model
 from vllm_omni_draft_tpu.ops import quant as quant_ops
-from vllm_omni_draft_tpu.ops.attention import AttentionMetadata, attention, write_kv
+from vllm_omni_draft_tpu.ops.attention import (
+    AttentionMetadata,
+    attention_at_layer,
+    write_kv_layer,
+)
 from vllm_omni_draft_tpu.ops.layers import (
     apply_rope_cos_sin,
     linear,
@@ -163,9 +167,10 @@ def make_forward(cfg: ModelConfig):
     eps = cfg.rms_norm_eps
     theta = cfg.rope_theta
 
-    def layer_fn(carry, xs):
-        x, cos, sin, meta = carry
-        lp, kc, vc = xs
+    def layer_fn(carry, lp):
+        # KV cache rides in the CARRY (in-place-aliasable by XLA's while
+        # loop); putting it in scan xs/ys would keep two full copies live.
+        x, l, kc, vc, cos, sin, meta = carry
         B, T, D = x.shape
 
         h = rms_norm(x, lp["ln1"], eps)
@@ -173,15 +178,15 @@ def make_forward(cfg: ModelConfig):
         k = linear(h, lp["k"]).reshape(B, T, Hkv, Dh)
         v = linear(h, lp["v"]).reshape(B, T, Hkv, Dh)
         q, k = apply_rope_cos_sin(q, k, cos, sin)
-        kc, vc = write_kv(kc, vc, k, v, meta.slot_mapping)
-        o = attention(q, kc, vc, meta, scale)
+        kc, vc = write_kv_layer(kc, vc, k, v, meta.slot_mapping, l)
+        o = attention_at_layer(q, kc, vc, l, meta, scale)
         x = x + linear(o.reshape(B, T, Hq * Dh), lp["o"])
 
         h = rms_norm(x, lp["ln2"], eps)
         g = linear(h, lp["gate"])
         u = linear(h, lp["up"])
         x = x + linear(jax.nn.silu(g) * u, lp["down"])
-        return (x, cos, sin, meta), (kc, vc)
+        return (x, l + 1, kc, vc, cos, sin, meta), None
 
     def forward(
         params: dict,
@@ -196,10 +201,9 @@ def make_forward(cfg: ModelConfig):
         else:
             x = input_embeds.astype(_dtype(cfg))
         cos, sin = rope_cos_sin(positions, Dh, theta)
-        (x, _, _, _), (new_k, new_v) = jax.lax.scan(
-            layer_fn,
-            (x, cos, sin, meta),
-            (params["layers"], kv_cache["k"], kv_cache["v"]),
+        carry = (x, jnp.int32(0), kv_cache["k"], kv_cache["v"], cos, sin, meta)
+        (x, _, new_k, new_v, _, _, _), _ = jax.lax.scan(
+            layer_fn, carry, params["layers"]
         )
         x = rms_norm(x, params["final_norm"], eps)
         return x, {"k": new_k, "v": new_v}

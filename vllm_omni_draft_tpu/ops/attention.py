@@ -52,8 +52,9 @@ def write_kv(
     slot_mapping: jax.Array,  # [B, T] int32, -1 = drop
     kv_scale: float = 1.0,
 ) -> tuple[jax.Array, jax.Array]:
-    """Scatter new KV into the paged cache. Functional (returns new arrays);
-    under jit with donated buffers this compiles to an in-place scatter."""
+    """Scatter new KV into one layer's paged cache. Functional (returns new
+    arrays); under jit with donated buffers this compiles to an in-place
+    scatter."""
     nb, bs, h, d = k_cache.shape
     if k_cache.dtype == quant_ops.FP8_DTYPE:
         k_new = quant_ops.kv_to_fp8(k_new, kv_scale)
@@ -73,6 +74,41 @@ def write_kv(
     return k_flat.reshape(nb, bs, h, d), v_flat.reshape(nb, bs, h, d)
 
 
+def write_kv_layer(
+    k_cache: jax.Array,  # [L, NUM_BLOCKS, BLOCK, Hkv, D] full cache
+    v_cache: jax.Array,
+    k_new: jax.Array,  # [B, T, Hkv, D]
+    v_new: jax.Array,
+    slot_mapping: jax.Array,  # [B, T] int32, -1 = drop
+    layer: jax.Array,  # scalar int32
+    kv_scale: float = 1.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter new KV into layer `layer` of the FULL cache. Keeping the
+    whole cache in the layer-scan carry (instead of scan xs/ys) is what
+    lets XLA alias it in place — xs/ys would hold two full copies."""
+    L, nb, bs, h, d = k_cache.shape
+    if k_cache.dtype == quant_ops.FP8_DTYPE:
+        k_new = quant_ops.kv_to_fp8(k_new, kv_scale)
+        v_new = quant_ops.kv_to_fp8(v_new, kv_scale)
+    else:
+        k_new = k_new.astype(k_cache.dtype)
+        v_new = v_new.astype(v_cache.dtype)
+    flat = slot_mapping.reshape(-1)
+    # scatter directly on the 5-D array (no reshape round-trip: a reshaped
+    # scatter result picks a different layout than the scan carry and XLA
+    # inserts a full-cache copy per layer). -1 => block index nb (OOB,
+    # dropped); negatives must not reach the index math (NumPy wrapping).
+    blocks = jnp.where(flat < 0, nb, flat // bs)
+    offs = jnp.where(flat < 0, 0, flat % bs)
+    k_cache = k_cache.at[layer, blocks, offs].set(
+        k_new.reshape(-1, h, d), mode="drop"
+    )
+    v_cache = v_cache.at[layer, blocks, offs].set(
+        v_new.reshape(-1, h, d), mode="drop"
+    )
+    return k_cache, v_cache
+
+
 def paged_attention(
     q: jax.Array,  # [B, T, Hq, D]
     k_cache: jax.Array,  # [NUM_BLOCKS, BLOCK, Hkv, D]
@@ -81,21 +117,35 @@ def paged_attention(
     scale: float,
     kv_scale: float = 1.0,
 ) -> jax.Array:
-    """Gather-based paged attention with position-causal masking.
+    """Gather-based paged attention over a per-layer cache."""
+    B = q.shape[0]
+    BS = k_cache.shape[1]
+    S = meta.block_tables.shape[1] * BS
+    Hkv, D = k_cache.shape[2], k_cache.shape[3]
+    k = k_cache[meta.block_tables].reshape(B, S, Hkv, D)
+    v = v_cache[meta.block_tables].reshape(B, S, Hkv, D)
+    return _attention_gathered(q, k, v, meta, scale, kv_scale)
+
+
+def _attention_gathered(
+    q: jax.Array,  # [B, T, Hq, D]
+    k: jax.Array,  # [B, S, Hkv, D] (cache dtype)
+    v: jax.Array,
+    meta: AttentionMetadata,
+    scale: float,
+    kv_scale: float = 1.0,
+) -> jax.Array:
+    """Position-causal masked attention over gathered KV.
 
     Query token (b, t) attends to cache index j (within the sequence's block
     table, laid out contiguously) iff j <= positions[b, t] and j < kv_lens[b].
     Padding query rows (positions == -1) see an empty mask and produce zeros.
     """
     B, T, Hq, D = q.shape
-    _, BS, Hkv, _ = k_cache.shape
+    S, Hkv = k.shape[1], k.shape[2]
     G = Hq // Hkv
-    S = meta.block_tables.shape[1] * BS  # padded per-seq KV span
 
-    # Gather this batch's KV: [B, NBLK, BS, Hkv, D] -> [B, S, Hkv, D]
-    k = k_cache[meta.block_tables].reshape(B, S, Hkv, D)
-    v = v_cache[meta.block_tables].reshape(B, S, Hkv, D)
-    if k_cache.dtype == quant_ops.FP8_DTYPE:
+    if k.dtype == quant_ops.FP8_DTYPE:
         k = quant_ops.kv_from_fp8(k, kv_scale, jnp.float32)
         v = quant_ops.kv_from_fp8(v, kv_scale, jnp.float32)
 
@@ -141,7 +191,36 @@ def attention(
     scale: float,
     kv_scale: float = 1.0,
 ) -> jax.Array:
-    """Dispatch: Pallas kernel on TPU, gather-based reference elsewhere."""
+    """Per-layer-cache dispatch: Pallas kernel on TPU, gather reference
+    elsewhere."""
     if _PALLAS_PAGED_ATTENTION is not None:
-        return _PALLAS_PAGED_ATTENTION(q, k_cache, v_cache, meta, scale, kv_scale)
+        return _PALLAS_PAGED_ATTENTION(
+            q, k_cache, v_cache, None, meta, scale, kv_scale
+        )
     return paged_attention(q, k_cache, v_cache, meta, scale, kv_scale)
+
+
+def attention_at_layer(
+    q: jax.Array,
+    k_cache: jax.Array,  # [L, NB, BS, Hkv, D] full cache
+    v_cache: jax.Array,
+    layer: jax.Array,  # scalar int32
+    meta: AttentionMetadata,
+    scale: float,
+    kv_scale: float = 1.0,
+) -> jax.Array:
+    """Attention against layer `layer` of the full cache (the layer-scan
+    carry form). The Pallas kernel indexes the layer inside its DMAs; the
+    XLA path slices the layer out first."""
+    if _PALLAS_PAGED_ATTENTION is not None:
+        return _PALLAS_PAGED_ATTENTION(
+            q, k_cache, v_cache, layer, meta, scale, kv_scale
+        )
+    # single fused gather (layer, block) — materializing the layer slice
+    # first would copy the whole layer (hundreds of MB) every call
+    B = q.shape[0]
+    BS, Hkv, D = k_cache.shape[2], k_cache.shape[3], k_cache.shape[4]
+    S = meta.block_tables.shape[1] * BS
+    k = k_cache[layer, meta.block_tables].reshape(B, S, Hkv, D)
+    v = v_cache[layer, meta.block_tables].reshape(B, S, Hkv, D)
+    return _attention_gathered(q, k, v, meta, scale, kv_scale)

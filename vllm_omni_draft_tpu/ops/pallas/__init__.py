@@ -1,0 +1,35 @@
+"""Pallas TPU kernels (Mosaic-compiled) — the performance layer.
+
+The TPU-native replacement for the reference's CUDA kernel surface
+(SURVEY.md §2.4): paged attention, fused dequant+matmul, rejection
+sampling. Each kernel has an XLA reference implementation in ops/ used for
+CPU tests and numerical parity.
+
+`install()` registers the kernels as dispatch overrides when running on
+TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def install(enable_attention: bool = True, enable_quant: bool = True) -> None:
+    """Register Pallas kernels as the hot-path implementations."""
+    if jax.default_backend() != "tpu":
+        return
+    if enable_attention:
+        from vllm_omni_draft_tpu.ops import attention as att
+        from vllm_omni_draft_tpu.ops.pallas.paged_attention import (
+            paged_attention_dispatch,
+        )
+
+        att.use_pallas_kernel(paged_attention_dispatch)
+    if enable_quant:
+        from vllm_omni_draft_tpu.ops import quant
+        from vllm_omni_draft_tpu.ops.pallas.quant_matmul import (
+            matmul_int4_pallas,
+            matmul_int8_pallas,
+        )
+
+        quant.use_pallas_kernels(matmul_int8_pallas, matmul_int4_pallas)

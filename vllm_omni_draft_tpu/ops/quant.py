@@ -54,8 +54,11 @@ def quantize_int8(w: jax.Array) -> dict:
 
 
 def quantize_int4(w: jax.Array, group_size: int = 128) -> dict:
-    """Group-wise symmetric INT4, packed two nibbles per byte (even index in
-    the low nibble). w: [O, I]; I divisible by group_size and by 2."""
+    """Group-wise symmetric INT4, packed two nibbles per byte in
+    SPLIT-HALF layout: byte b holds column b (low nibble) and column
+    b + I/2 (high nibble). Unpacking is then a concat — layout-friendly
+    on TPU (an interleaved layout would need an expensive shuffle in the
+    Pallas dequant kernel). w: [O, I]; I divisible by group_size and 2."""
     O, I = w.shape
     assert I % group_size == 0 and I % 2 == 0, (O, I, group_size)
     wf = w.astype(jnp.float32).reshape(O, I // group_size, group_size)
@@ -63,15 +66,16 @@ def quantize_int4(w: jax.Array, group_size: int = 128) -> dict:
     s = jnp.maximum(s, 1e-8)
     q = jnp.clip(jnp.round(wf / s), -8, 7).astype(jnp.int32).reshape(O, I)
     u = (q + 8).astype(jnp.uint8)  # [0, 15]
-    packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(jnp.uint8)  # [O, I//2]
+    half = I // 2
+    packed = (u[:, :half] | (u[:, half:] << 4)).astype(jnp.uint8)  # [O, I//2]
     return {"w": packed, "s": s.reshape(O, I // group_size)}
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """[O, I//2] uint8 -> [O, I] int8 in [-8, 7] (interleaved lo/hi)."""
+    """[O, I//2] uint8 -> [O, I] int8 in [-8, 7] (split-half layout)."""
     lo = (packed & 0xF).astype(jnp.int8) - 8
     hi = (packed >> 4).astype(jnp.int8) - 8
-    return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def dequantize(w: dict, dtype=jnp.bfloat16) -> jax.Array:

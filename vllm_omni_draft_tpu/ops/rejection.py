@@ -86,6 +86,24 @@ def rejection_sample(
     return out.astype(jnp.int32), num_emitted.astype(jnp.int32)
 
 
+def rejection_greedy(
+    draft_tokens: jax.Array,  # [B, K] int32
+    target_argmax: jax.Array,  # [B, K+1] int32 — argmax of target logits
+) -> tuple[jax.Array, jax.Array]:
+    """Greedy fast path: accept while the draft token equals the target
+    argmax; the recovery/bonus token is the target argmax itself, so the
+    emitted tokens are simply target_argmax[:, :n+1]. Needs no probability
+    tensors at all — this is what the general rejection sampler degenerates
+    to when `compute_probs` one-hots a greedy batch (exactly lossless)."""
+    B, K = draft_tokens.shape
+    accept = draft_tokens == target_argmax[:, :K]
+    acc_prefix = jnp.cumprod(accept.astype(jnp.int32), axis=-1)
+    num_accepted = jnp.sum(acc_prefix, axis=-1)  # [B]
+    pos = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+    out = jnp.where(pos <= num_accepted[:, None], target_argmax, PLACEHOLDER)
+    return out.astype(jnp.int32), (num_accepted + 1).astype(jnp.int32)
+
+
 # Pallas override hook (set on TPU by ops.pallas.rejection).
 _PALLAS_REJECTION = None
 
