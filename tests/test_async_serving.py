@@ -1,0 +1,195 @@
+"""Async front end, HTTP API server, and ZMQ engine-proc split."""
+
+import asyncio
+import json
+import threading
+
+import pytest
+
+from vllm_omni_draft_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SchedulerConfig,
+)
+from vllm_omni_draft_tpu.core.request import OutputKind, SamplingParams
+from vllm_omni_draft_tpu.engine.async_llm import AsyncLLM
+
+
+def _tiny_config():
+    return EngineConfig(
+        model=ModelConfig.tiny(vocab_size=258, max_model_len=128),
+        cache=CacheConfig(block_size=8, num_blocks=64),
+        scheduler=SchedulerConfig(
+            max_num_seqs=4, max_num_batched_tokens=64, prefill_buckets=(16, 64)
+        ),
+    )
+
+
+@pytest.fixture()
+def async_llm():
+    llm = AsyncLLM(_tiny_config())
+    yield llm
+    llm.shutdown()
+
+
+def test_async_generate_streams_and_finishes(async_llm):
+    async def run():
+        outs = []
+        sp = SamplingParams(max_tokens=8, temperature=0.0,
+                            output_kind=OutputKind.DELTA)
+        async for out in async_llm.generate("hello async", sp):
+            outs.append(out)
+        return outs
+
+    outs = asyncio.run(run())
+    assert outs[-1].finished
+    assert sum(len(o.outputs[0].token_ids) for o in outs) == 8
+
+
+def test_async_concurrent_requests(async_llm):
+    async def run():
+        sp = SamplingParams(max_tokens=6, temperature=0.0)
+
+        async def one(prompt):
+            last = None
+            async for out in async_llm.generate(prompt, sp):
+                last = out
+            return last
+
+        return await asyncio.gather(*(one(f"prompt {i}") for i in range(5)))
+
+    results = asyncio.run(run())
+    assert all(r.finished for r in results)
+    assert all(len(r.outputs[0].token_ids) == 6 for r in results)
+
+
+def test_async_cancellation_aborts(async_llm):
+    async def run():
+        sp = SamplingParams(max_tokens=1000, temperature=0.0, ignore_eos=True)
+        agen = async_llm.generate("long running", sp)
+        out = None
+        async for out in agen:
+            break
+        await agen.aclose()
+        await asyncio.sleep(0.1)
+        return out
+
+    asyncio.run(run())
+    # after cancellation the engine should drain to idle
+    import time
+
+    for _ in range(100):
+        if not async_llm.engine.has_unfinished():
+            break
+        time.sleep(0.05)
+    assert not async_llm.engine.has_unfinished()
+
+
+def test_api_server_completions(async_llm):
+    async def run():
+        from vllm_omni_draft_tpu.entrypoints.api_server import serve
+
+        srv = await serve(async_llm, host="127.0.0.1", port=0)
+        port = srv.sockets[0].getsockname()[1]
+
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        body = json.dumps({"prompt": "hi there", "max_tokens": 5,
+                           "temperature": 0.0}).encode()
+        writer.write(
+            b"POST /v1/completions HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+        await writer.drain()
+        raw = await reader.read()
+        writer.close()
+        head, _, payload = raw.partition(b"\r\n\r\n")
+        assert b"200" in head.split(b"\r\n")[0]
+        resp = json.loads(payload)
+        srv.close()
+        return resp
+
+    resp = asyncio.run(run())
+    assert resp["choices"][0]["finish_reason"] == "length"
+    assert resp["usage"]["completion_tokens"] == 5
+
+
+def test_api_server_streaming_sse(async_llm):
+    async def run():
+        from vllm_omni_draft_tpu.entrypoints.api_server import serve
+
+        srv = await serve(async_llm, host="127.0.0.1", port=0)
+        port = srv.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        body = json.dumps({
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4, "temperature": 0.0, "stream": True,
+        }).encode()
+        writer.write(
+            b"POST /v1/chat/completions HTTP/1.1\r\nHost: x\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+        await writer.drain()
+        raw = await reader.read()
+        writer.close()
+        srv.close()
+        return raw.decode()
+
+    raw = asyncio.run(run())
+    assert "text/event-stream" in raw
+    assert raw.rstrip().endswith("data: [DONE]")
+    chunks = [l for l in raw.splitlines() if l.startswith("data: {")]
+    assert len(chunks) >= 1
+    assert json.loads(chunks[0][6:])["object"] == "chat.completion.chunk"
+
+
+def test_api_server_bad_request(async_llm):
+    async def run():
+        from vllm_omni_draft_tpu.entrypoints.api_server import serve
+
+        srv = await serve(async_llm, host="127.0.0.1", port=0)
+        port = srv.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(
+            b"POST /v1/completions HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: 2\r\n\r\n{}"
+        )
+        await writer.drain()
+        raw = await reader.read()
+        writer.close()
+        srv.close()
+        return raw
+
+    raw = asyncio.run(run())
+    assert b"400" in raw.split(b"\r\n")[0]
+
+
+@pytest.mark.integration
+def test_engine_proc_split_over_zmq():
+    zmq = pytest.importorskip("zmq")
+    from vllm_omni_draft_tpu.engine.ipc import EngineCoreClient
+
+    client = EngineCoreClient(_tiny_config())
+    try:
+        sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+        client.add_request("r1", [1, 2, 3], sp)
+        client.add_request("r2", [7, 8, 9, 10], sp)
+        got: dict[str, list[int]] = {"r1": [], "r2": []}
+        finished = set()
+        for _ in range(100):
+            outs = client.get_output(timeout=10)
+            assert outs is not None, "engine proc produced no output"
+            for rid, toks, fin, _status in outs.outputs:
+                got[rid].extend(toks)
+                if fin:
+                    finished.add(rid)
+            if finished == {"r1", "r2"}:
+                break
+        assert finished == {"r1", "r2"}
+        assert len(got["r1"]) == 6 and len(got["r2"]) == 6
+        # utility op round-trip
+        stats = client.call_utility("get_stats")
+        assert "scheduler" in stats
+    finally:
+        client.shutdown()

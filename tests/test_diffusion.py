@@ -1,0 +1,118 @@
+"""Diffusion stage: DiT forward/denoise shapes and determinism, VAE
+encode/decode shapes, input-schema validation (reference parity:
+`src/qwen_image/types.py` validation + denoise loop behavior)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_omni_draft_tpu.models.dit import (
+    DiffusionStageEngine,
+    DiTConfig,
+    init_params,
+    make_denoiser,
+    make_forward,
+)
+from vllm_omni_draft_tpu.models.image_types import (
+    ImageGenInputs,
+    ImageOutputMode,
+    ImageTask,
+    validate_image_inputs,
+)
+from vllm_omni_draft_tpu.models.vae import VAE, VAEConfig
+
+TINY_DIT = DiTConfig(
+    latent_channels=4, patch_size=2, hidden_size=64, depth=2, num_heads=4,
+    text_dim=32, dtype="float32",
+)
+
+
+def test_dit_forward_shapes_and_mask():
+    cfg = TINY_DIT
+    params = init_params(cfg)
+    fwd = make_forward(cfg)
+    B, C, H, W = 2, 4, 16, 16
+    lat = jax.random.normal(jax.random.PRNGKey(0), (B, C, H, W))
+    txt = jax.random.normal(jax.random.PRNGKey(1), (B, 6, 32))
+    mask = jnp.asarray([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1]])
+    t = jnp.full((B,), 500.0)
+    g = jnp.full((B,), 4.0)
+    out = fwd(params, lat, txt, mask, t, g)
+    assert out.shape == (B, C, H, W)
+    assert not np.any(np.isnan(np.asarray(out)))
+    # masked text tokens must not influence the output
+    txt2 = txt.at[0, 3:].set(999.0)
+    out2 = fwd(params, lat, txt2, mask, t, g)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out2[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_denoise_loop_is_deterministic_and_conditional():
+    cfg = TINY_DIT
+    params = init_params(cfg)
+    denoise = jax.jit(make_denoiser(cfg, num_steps=3))
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 16))
+    txt = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 32))
+    mask = jnp.ones((1, 5), jnp.int32)
+    a = denoise(params, lat, txt, mask, 3.0, jax.random.PRNGKey(2))
+    b = denoise(params, lat, txt, mask, 3.0, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # different conditioning changes the result
+    c = denoise(params, lat, txt * 2, mask, 3.0, jax.random.PRNGKey(2))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-6
+
+
+def test_vae_shapes_roundtrip():
+    vae = VAE(VAEConfig(latent_channels=4, base_channels=16))
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 64, 64))
+    z = vae.encode(img)
+    assert z.shape == (1, 4, 8, 8)
+    out = vae.decode(z)
+    assert out.shape == (1, 3, 64, 64)
+    assert float(jnp.max(jnp.abs(out))) <= 1.0  # tanh range
+
+
+def test_stage_engine_t2i_latents_and_pixels():
+    eng = DiffusionStageEngine(dit_config=TINY_DIT)
+    eng.vae = VAE(VAEConfig(latent_channels=4, base_channels=16))
+    inp = ImageGenInputs(
+        prompt_embeds=np.random.randn(1, 4, 32).astype(np.float32),
+        height=64, width=64, num_inference_steps=2, guidance_scale=2.0,
+        seed=7, output_mode=ImageOutputMode.PIXELS_AND_LATENTS,
+    )
+    out = eng.generate([inp])[0]
+    assert out.latents.shape == (1, 4, 8, 8)
+    assert out.pixels.shape == (1, 3, 64, 64)
+    # same seed => same image
+    out2 = eng.generate([inp])[0]
+    np.testing.assert_array_equal(np.asarray(out.latents), np.asarray(out2.latents))
+
+
+def test_stage_engine_i2i_uses_image_latents():
+    eng = DiffusionStageEngine(dit_config=TINY_DIT)
+    il = np.random.randn(1, 4, 8, 8).astype(np.float32)
+    inp = ImageGenInputs(
+        image_latents=il, task=ImageTask.IMAGE_TO_IMAGE,
+        height=64, width=64, num_inference_steps=2,
+        output_mode=ImageOutputMode.LATENTS, seed=1,
+    )
+    out = eng.generate([inp])[0]
+    assert out.latents.shape == (1, 4, 8, 8)
+    assert out.pixels is None
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        dict(num_inference_steps=0),
+        dict(guidance_scale=-1.0),
+        dict(height=100),  # not multiple of 8
+        dict(task=ImageTask.IMAGE_TO_IMAGE),  # missing image_latents
+        dict(prompt_embeds=np.zeros((2, 3))),  # wrong ndim
+    ],
+)
+def test_input_validation_rejects(bad):
+    inp = ImageGenInputs(**bad)
+    with pytest.raises(ValueError):
+        validate_image_inputs(inp)

@@ -120,6 +120,10 @@ class ModelRunner:
 
     def __init__(self, config: EngineConfig, num_blocks: int | None = None):
         self.config = config
+        if not config.enforce_eager:
+            from vllm_omni_draft_tpu.ops import pallas as pallas_kernels
+
+            pallas_kernels.install()  # no-op off-TPU
         sched = config.scheduler
         self.block_size = config.cache.block_size
         self.B = sched.max_num_seqs

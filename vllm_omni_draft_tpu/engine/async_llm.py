@@ -1,0 +1,159 @@
+"""AsyncLLM: asyncio front end with streaming per-request queues.
+
+Capability parity with the reference's AsyncLLM surface
+(`src/doc/engine_core.md:187-207, 521-557`): background output-handler
+loop, per-request RequestOutputCollector queues, streaming async
+generators, abort propagation on cancellation/stop.
+
+The engine step loop is synchronous (single-controller TPU dispatch), so
+it runs on a worker thread; the asyncio side communicates through
+thread-safe queues. With `engine_proc=True` the engine runs in a separate
+process behind ZMQ (engine/ipc.py) — the reference's EngineCoreProc split.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import itertools
+import threading
+from typing import AsyncIterator
+
+from vllm_omni_draft_tpu.config import EngineConfig
+from vllm_omni_draft_tpu.core.engine import EngineCore
+from vllm_omni_draft_tpu.core.output_processor import OutputProcessor
+from vllm_omni_draft_tpu.core.request import (
+    Request,
+    RequestOutput,
+    SamplingParams,
+)
+from vllm_omni_draft_tpu.core.tokenizer import get_tokenizer
+
+_req_counter = itertools.count()
+
+
+class RequestOutputCollector:
+    """Per-request async output queue (reference:
+    `engine_core.md:528-557`). The producer side is the engine thread."""
+
+    def __init__(self, loop: asyncio.AbstractEventLoop):
+        self._loop = loop
+        self._queue: asyncio.Queue = asyncio.Queue()
+
+    def put_nowait(self, item) -> None:
+        # called from the engine thread
+        self._loop.call_soon_threadsafe(self._queue.put_nowait, item)
+
+    async def get(self):
+        item = await self._queue.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+
+class AsyncLLM:
+    def __init__(self, config: EngineConfig, tokenizer=None):
+        self.config = config
+        self.tokenizer = tokenizer if tokenizer is not None else get_tokenizer(
+            config.tokenizer
+        )
+        self.engine = EngineCore(config)
+        self.output_processor = OutputProcessor(
+            self.tokenizer, abort_fn=self._abort_from_stop
+        )
+        self._lock = threading.Lock()
+        self._wakeup = threading.Event()
+        self._shutdown = False
+        self._loop: asyncio.AbstractEventLoop | None = None
+        self._thread: threading.Thread | None = None
+        self._errored: Exception | None = None
+
+    # ------------------------------------------------------------------
+
+    def _ensure_started(self) -> None:
+        if self._thread is None:
+            self._loop = asyncio.get_running_loop()
+            self._thread = threading.Thread(
+                target=self._run_engine_loop, name="engine-loop", daemon=True
+            )
+            self._thread.start()
+
+    def _run_engine_loop(self) -> None:
+        """The busy loop (reference: `_process_engine_step`,
+        `engine_core.md:154-156`), idling when no work is queued."""
+        while not self._shutdown:
+            with self._lock:
+                has_work = self.engine.has_unfinished()
+                if has_work:
+                    try:
+                        updated = self.engine.step()
+                        self.output_processor.process_outputs(updated)
+                    except Exception as e:  # propagate to consumers
+                        self._errored = e
+                        self.output_processor.propagate_error(e)
+                        return
+            if not has_work:
+                self._wakeup.wait(timeout=0.005)
+                self._wakeup.clear()
+
+    def _abort_from_stop(self, request_ids) -> None:
+        for rid in request_ids:
+            req = self.engine.scheduler.requests.get(rid)
+            if req is not None:
+                self.engine.scheduler.finish_request(req, req.status)
+                self.engine.runner.release_slot(req)
+
+    # ------------------------------------------------------------------
+
+    async def generate(
+        self,
+        prompt,
+        sampling_params: SamplingParams | None = None,
+        request_id: str | None = None,
+        mm_inputs=None,
+    ) -> AsyncIterator[RequestOutput]:
+        """Async generator of streaming RequestOutputs; final output has
+        finished=True. Cancellation aborts the request in the engine."""
+        self._ensure_started()
+        if self._errored:
+            raise self._errored
+        sp = sampling_params or SamplingParams()
+        ids = self.tokenizer.encode(prompt) if isinstance(prompt, str) else list(prompt)
+        if (
+            not sp.ignore_eos
+            and getattr(self.tokenizer, "eos_token_id", None) is not None
+            and self.tokenizer.eos_token_id not in sp.stop_token_ids
+        ):
+            sp.stop_token_ids = sp.stop_token_ids + (self.tokenizer.eos_token_id,)
+        rid = request_id or f"req-{next(_req_counter)}"
+        req = Request(request_id=rid, prompt_token_ids=ids, sampling_params=sp,
+                      mm_inputs=mm_inputs)
+        collector = RequestOutputCollector(asyncio.get_running_loop())
+        with self._lock:
+            self.engine.add_request(req)
+            self.output_processor.add_request(req, queue=collector)
+        self._wakeup.set()
+        try:
+            while True:
+                out = await collector.get()
+                yield out
+                if out.finished:
+                    return
+        except (asyncio.CancelledError, GeneratorExit):
+            # consumer cancelled or closed the stream: abort in-engine
+            with self._lock:
+                self.engine.abort_requests([rid])
+                self.output_processor.states.pop(rid, None)
+            raise
+
+    async def abort(self, request_id: str) -> None:
+        with self._lock:
+            self.engine.abort_requests([request_id])
+
+    def get_stats(self) -> dict:
+        return self.engine.get_stats()
+
+    def shutdown(self) -> None:
+        self._shutdown = True
+        self._wakeup.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)

@@ -1,0 +1,202 @@
+"""HTTP serving front end (OpenAI-compatible subset) on asyncio stdlib.
+
+Capability parity with the reference's HTTP path (FastAPI -> AsyncLLM,
+`src/doc/engine_core.md:521-539`), dependency-free: this image has no
+fastapi/uvicorn, and a serving engine's HTTP layer is thin enough that
+asyncio + http handcoding is a feature, not a compromise.
+
+Endpoints:
+  GET  /health
+  GET  /stats
+  POST /v1/completions        {prompt, max_tokens, temperature, top_p,
+                               top_k, stop, stream}
+  POST /v1/chat/completions   {messages, ...same params}
+SSE streaming (`data: {...}\n\n`, terminated by `data: [DONE]`).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+
+from vllm_omni_draft_tpu.core.request import OutputKind, SamplingParams
+from vllm_omni_draft_tpu.engine.async_llm import AsyncLLM
+
+
+def _sampling_from_body(body: dict) -> SamplingParams:
+    stop = body.get("stop") or ()
+    if isinstance(stop, str):
+        stop = (stop,)
+    return SamplingParams(
+        max_tokens=int(body.get("max_tokens", 128)),
+        temperature=float(body.get("temperature", 1.0)),
+        top_p=float(body.get("top_p", 1.0)),
+        top_k=int(body.get("top_k", 0)),
+        stop=tuple(stop),
+        seed=body.get("seed"),
+        output_kind=OutputKind.DELTA if body.get("stream") else OutputKind.CUMULATIVE,
+    )
+
+
+class ApiServer:
+    def __init__(self, async_llm: AsyncLLM, model_name: str = "model"):
+        self.llm = async_llm
+        self.model_name = model_name
+
+    # ------------------------------------------------------------------
+    # HTTP plumbing
+    # ------------------------------------------------------------------
+
+    async def handle(self, reader: asyncio.StreamReader,
+                     writer: asyncio.StreamWriter) -> None:
+        try:
+            request_line = await reader.readline()
+            if not request_line:
+                return
+            method, path, _ = request_line.decode().split(" ", 2)
+            headers = {}
+            while True:
+                line = await reader.readline()
+                if line in (b"\r\n", b"\n", b""):
+                    break
+                k, _, v = line.decode().partition(":")
+                headers[k.strip().lower()] = v.strip()
+            body = b""
+            if "content-length" in headers:
+                body = await reader.readexactly(int(headers["content-length"]))
+            await self._route(method, path, body, writer)
+        except (ConnectionResetError, asyncio.IncompleteReadError):
+            pass
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    async def _route(self, method: str, path: str, body: bytes,
+                     writer: asyncio.StreamWriter) -> None:
+        if method == "GET" and path == "/health":
+            return await self._json(writer, 200, {"status": "ok"})
+        if method == "GET" and path == "/stats":
+            stats = self.llm.get_stats()
+            return await self._json(writer, 200, {
+                "running": stats["scheduler"].num_running,
+                "waiting": stats["scheduler"].num_waiting,
+                "kv_usage": stats["scheduler"].kv_usage,
+                "spec_acceptance": stats["spec_decode"].acceptance_rate,
+            })
+        if method == "POST" and path in ("/v1/completions", "/v1/chat/completions"):
+            try:
+                payload = json.loads(body or b"{}")
+            except json.JSONDecodeError:
+                return await self._json(writer, 400, {"error": "invalid JSON"})
+            try:
+                return await self._completion(
+                    writer, payload, chat=path.endswith("chat/completions")
+                )
+            except ValueError as e:
+                return await self._json(writer, 400, {"error": str(e)})
+        await self._json(writer, 404, {"error": f"no route {method} {path}"})
+
+    async def _json(self, writer, status: int, obj: dict) -> None:
+        data = json.dumps(obj).encode()
+        writer.write(
+            f"HTTP/1.1 {status} X\r\nContent-Type: application/json\r\n"
+            f"Content-Length: {len(data)}\r\nConnection: close\r\n\r\n".encode()
+            + data
+        )
+        await writer.drain()
+
+    # ------------------------------------------------------------------
+    # completion endpoints
+    # ------------------------------------------------------------------
+
+    async def _completion(self, writer, body: dict, chat: bool) -> None:
+        if chat:
+            messages = body.get("messages")
+            if not messages:
+                raise ValueError("messages required")
+            prompt = self.llm.tokenizer.apply_chat_template(
+                messages, add_generation_prompt=True
+            )
+        else:
+            prompt = body.get("prompt")
+            if prompt is None:
+                raise ValueError("prompt required")
+        sp = _sampling_from_body(body)
+        rid = f"cmpl-{uuid.uuid4().hex[:16]}"
+        created = int(time.time())
+        stream = bool(body.get("stream"))
+
+        if stream:
+            writer.write(
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/event-stream\r\n"
+                b"Cache-Control: no-cache\r\nConnection: close\r\n\r\n"
+            )
+            await writer.drain()
+            async for out in self.llm.generate(prompt, sp, request_id=rid):
+                delta = out.outputs[0].text if out.outputs else ""
+                chunk = {
+                    "id": rid,
+                    "object": "chat.completion.chunk" if chat else "text_completion",
+                    "created": created,
+                    "model": self.model_name,
+                    "choices": [{
+                        "index": 0,
+                        **({"delta": {"content": delta}} if chat
+                           else {"text": delta}),
+                        "finish_reason": out.outputs[0].finish_reason
+                        if out.outputs else None,
+                    }],
+                }
+                writer.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                await writer.drain()
+            writer.write(b"data: [DONE]\n\n")
+            await writer.drain()
+            return
+
+        final = None
+        async for out in self.llm.generate(prompt, sp, request_id=rid):
+            final = out
+        text = final.outputs[0].text if final and final.outputs else ""
+        reason = final.outputs[0].finish_reason if final and final.outputs else None
+        n_out = len(final.outputs[0].token_ids) if final and final.outputs else 0
+        resp = {
+            "id": rid,
+            "object": "chat.completion" if chat else "text_completion",
+            "created": created,
+            "model": self.model_name,
+            "choices": [{
+                "index": 0,
+                **({"message": {"role": "assistant", "content": text}} if chat
+                   else {"text": text}),
+                "finish_reason": reason,
+            }],
+            "usage": {
+                "prompt_tokens": len(final.prompt_token_ids) if final else 0,
+                "completion_tokens": n_out,
+                "total_tokens": (len(final.prompt_token_ids) if final else 0) + n_out,
+            },
+        }
+        await self._json(writer, 200, resp)
+
+
+async def serve(async_llm: AsyncLLM, host: str = "127.0.0.1", port: int = 8000,
+                model_name: str = "model"):
+    server = ApiServer(async_llm, model_name)
+    srv = await asyncio.start_server(server.handle, host, port)
+    return srv
+
+
+def run_server(config, host="127.0.0.1", port=8000, model_name="model"):
+    async def main():
+        llm = AsyncLLM(config)
+        srv = await serve(llm, host, port, model_name)
+        print(f"vot serving on http://{host}:{port}")
+        async with srv:
+            await srv.serve_forever()
+
+    asyncio.run(main())

@@ -1,0 +1,284 @@
+"""Diffusion transformer (DiT) stage: model, denoise loop, stage engine.
+
+TPU-native rebuild of the reference's image-generation path — the
+denoising engine of `src/qwen_image/runner_adapter.py:127-141`
+(per-step `transformer(hidden_states, encoder_hidden_states, mask,
+timestep, guidance)` then latent update) and the `QwenImageGenModel`
+wrapper (`src/qwen_image_gen/model.py:117-143`) — redesigned idiomatically:
+
+- MMDiT-style joint attention over [image patches ; text tokens] with
+  adaLN-Zero conditioning from (timestep, guidance) embeddings;
+- the WHOLE denoise loop is one `lax.scan` over timesteps inside one jit
+  (the reference loops in Python, one CUDA launch per step — on TPU the
+  scan compiles to a single device program);
+- rectified-flow Euler sampling on the reference's linear 1000-scaled
+  schedule (`runner_adapter.py:64-68`);
+- classifier-free guidance via a batched cond/uncond forward.
+
+The DiffusionStageEngine plugs into the Omni pipeline as a
+`stage_type="diffusion"` stage and returns pooling-style tensor outputs
+(reference: pooler_output path, `engine_core.md:393-396`).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_omni_draft_tpu.models.image_types import (
+    ImageGenInputs,
+    ImageGenOutputs,
+    ImageOutputMode,
+    ImageTask,
+    validate_image_inputs,
+)
+from vllm_omni_draft_tpu.ops.layers import rms_norm
+
+
+@dataclass
+class DiTConfig:
+    latent_channels: int = 16
+    patch_size: int = 2
+    hidden_size: int = 512
+    depth: int = 8
+    num_heads: int = 8
+    text_dim: int = 3584  # Qwen2.5-VL embedding width (reference [B,T,3584])
+    mlp_ratio: float = 4.0
+    dtype: str = "bfloat16"
+    seed: int = 0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def _dt(cfg):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
+
+
+def init_params(cfg: DiTConfig, key=None) -> dict:
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    dt = _dt(cfg)
+    D = cfg.hidden_size
+    P = cfg.patch_size
+    C = cfg.latent_channels
+    F = int(D * cfg.mlp_ratio)
+    L = cfg.depth
+    ks = iter(jax.random.split(key, 16))
+
+    def w(shape, fan_in):
+        return (
+            jax.random.normal(next(ks), shape, jnp.float32) / math.sqrt(fan_in)
+        ).astype(dt)
+
+    return {
+        "patch_in": {"w": w((D, C * P * P), C * P * P), "b": jnp.zeros((D,), dt)},
+        "text_in": {"w": w((D, cfg.text_dim), cfg.text_dim)},
+        "time_mlp": {
+            "w1": w((D, 256), 256),
+            "w2": w((D, D), D),
+        },
+        "layers": {
+            # adaLN-Zero: per-layer modulation producing 6 gains/shifts
+            "mod": {"w": w((L, 6 * D, D), D), "b": jnp.zeros((L, 6 * D), dt)},
+            "qkv": {"w": w((L, 3 * D, D), D), "b": jnp.zeros((L, 3 * D), dt)},
+            "proj": {"w": w((L, D, D), D)},
+            "mlp_up": {"w": w((L, F, D), D)},
+            "mlp_down": {"w": w((L, D, F), F)},
+        },
+        "final_mod": {"w": w((2 * D, D), D), "b": jnp.zeros((2 * D,), dt)},
+        "patch_out": {"w": w((C * P * P, D), D)},
+    }
+
+
+def _timestep_embedding(t: jax.Array, dim: int = 256) -> jax.Array:
+    """Sinusoidal embedding of t in [0, 1000]."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None].astype(jnp.float32) * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def make_forward(cfg: DiTConfig):
+    """forward(params, latents [B,C,H,W], text_embeds [B,T,Dt],
+    text_mask [B,T], timestep [B], guidance [B]) -> velocity [B,C,H,W]."""
+    D, P, C = cfg.hidden_size, cfg.patch_size, cfg.latent_channels
+    H_heads, Dh = cfg.num_heads, cfg.head_dim
+    dt = _dt(cfg)
+    eps = 1e-6
+
+    def patchify(x):
+        B, C_, H, W = x.shape
+        hp, wp = H // P, W // P
+        x = x.reshape(B, C_, hp, P, wp, P)
+        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, hp * wp, C_ * P * P)
+        return x, (hp, wp)
+
+    def unpatchify(x, hw):
+        hp, wp = hw
+        B = x.shape[0]
+        x = x.reshape(B, hp, wp, C, P, P)
+        return x.transpose(0, 3, 1, 4, 2, 5).reshape(B, C, hp * P, wp * P)
+
+    def layer_fn(carry, lp):
+        x, cond, mask, n_img = carry  # x [B, N, D]; cond [B, D]
+        B, N, _ = x.shape
+        mod = (cond @ lp["mod"]["w"].T.astype(dt) + lp["mod"]["b"]).astype(
+            jnp.float32
+        )
+        sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mod, 6, axis=-1)  # [B, D] each
+
+        h = rms_norm(x, jnp.ones((x.shape[-1],), dt), eps)
+        h = h * (1 + sc1[:, None, :]).astype(dt) + sh1[:, None, :].astype(dt)
+        qkv = h @ lp["qkv"]["w"].T.astype(dt) + lp["qkv"]["b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, N, H_heads, Dh).astype(jnp.float32)
+        k = k.reshape(B, N, H_heads, Dh).astype(jnp.float32)
+        v = v.reshape(B, N, H_heads, Dh).astype(jnp.float32)
+        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / math.sqrt(Dh)
+        scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+        att = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("bhnm,bmhd->bnhd", att, v).reshape(B, N, -1).astype(dt)
+        x = x + g1[:, None, :].astype(dt) * (o @ lp["proj"]["w"].T.astype(dt))
+
+        h = rms_norm(x, jnp.ones((x.shape[-1],), dt), eps)
+        h = h * (1 + sc2[:, None, :]).astype(dt) + sh2[:, None, :].astype(dt)
+        h = jax.nn.gelu(h @ lp["mlp_up"]["w"].T.astype(dt))
+        x = x + g2[:, None, :].astype(dt) * (h @ lp["mlp_down"]["w"].T.astype(dt))
+        return (x, cond, mask, n_img), None
+
+    def forward(params, latents, text_embeds, text_mask, timestep, guidance):
+        B = latents.shape[0]
+        img_tok, hw = patchify(latents.astype(dt))
+        img = img_tok @ params["patch_in"]["w"].T.astype(dt) + params["patch_in"]["b"]
+        txt = text_embeds.astype(dt) @ params["text_in"]["w"].T.astype(dt)
+        n_img = img.shape[1]
+        x = jnp.concatenate([img, txt], axis=1)  # [B, N, D]
+        mask = jnp.concatenate(
+            [jnp.ones((B, n_img), bool), text_mask.astype(bool)], axis=1
+        )
+        # condition on timestep (+ guidance, reference passes guidance into
+        # the transformer — guidance-distilled conditioning)
+        temb = _timestep_embedding(timestep + 1000.0 * guidance * 0)  # timestep
+        gemb = _timestep_embedding(guidance * 1000.0)
+        cond = jax.nn.silu(
+            (temb + gemb) @ params["time_mlp"]["w1"].T.astype(jnp.float32)
+        )
+        cond = (cond @ params["time_mlp"]["w2"].T.astype(jnp.float32))
+
+        (x, _, _, _), _ = jax.lax.scan(
+            layer_fn, (x, cond.astype(dt), mask, n_img), params["layers"]
+        )
+
+        fm = (
+            cond.astype(dt) @ params["final_mod"]["w"].T.astype(dt)
+            + params["final_mod"]["b"]
+        ).astype(jnp.float32)
+        shf, scf = jnp.split(fm, 2, axis=-1)
+        out = rms_norm(x[:, :n_img], jnp.ones((D,), dt), eps)
+        out = out * (1 + scf[:, None, :]).astype(dt) + shf[:, None, :].astype(dt)
+        out = out @ params["patch_out"]["w"].T.astype(dt)
+        return unpatchify(out.astype(jnp.float32), hw)
+
+    return forward
+
+
+def make_denoiser(cfg: DiTConfig, num_steps: int):
+    """Full denoise loop as one compiled program: rectified-flow Euler over
+    the reference's linear 1000-scaled schedule, with CFG."""
+    fwd = make_forward(cfg)
+
+    def denoise(params, latents, text_embeds, text_mask, guidance, key):
+        B = latents.shape[0]
+        # linear sigma schedule 1 -> 0 (reference: linear 1000-scaled,
+        # runner_adapter.py:64-68)
+        sigmas = jnp.linspace(1.0, 0.0, num_steps + 1)
+
+        null_embeds = jnp.zeros_like(text_embeds)
+
+        def step(lat, i):
+            t = sigmas[i] * 1000.0
+            tvec = jnp.full((B,), t, jnp.float32)
+            gvec = jnp.asarray(guidance, jnp.float32) * jnp.ones((B,))
+            v_cond = fwd(params, lat, text_embeds, text_mask, tvec, gvec)
+            v_unc = fwd(params, lat, null_embeds, text_mask, tvec, gvec)
+            v = v_unc + guidance * (v_cond - v_unc)
+            lat = lat - (sigmas[i] - sigmas[i + 1]) * v
+            return lat, None
+
+        lat, _ = jax.lax.scan(step, latents, jnp.arange(num_steps))
+        return lat
+
+    return denoise
+
+
+class DiffusionStageEngine:
+    """The diffusion stage engine for the Omni pipeline: builds latents,
+    runs the compiled denoise loop, optional VAE decode."""
+
+    def __init__(self, stage_config=None, dit_config: DiTConfig | None = None,
+                 vae=None, **_):
+        self.cfg = dit_config or DiTConfig()
+        self.params = jax.jit(lambda: init_params(self.cfg))()
+        self.vae = vae
+        self._denoisers: dict[int, object] = {}
+
+    def _get_denoiser(self, steps: int):
+        if steps not in self._denoisers:
+            self._denoisers[steps] = jax.jit(make_denoiser(self.cfg, steps))
+        return self._denoisers[steps]
+
+    def generate(self, inputs_list, sampling_params=None) -> list[ImageGenOutputs]:
+        outs = []
+        for item in inputs_list:
+            inp = item if isinstance(item, ImageGenInputs) else ImageGenInputs(
+                **item if isinstance(item, dict) else {}
+            )
+            validate_image_inputs(inp)
+            outs.append(self._generate_one(inp))
+        return outs
+
+    def _generate_one(self, inp: ImageGenInputs) -> ImageGenOutputs:
+        C = self.cfg.latent_channels
+        h, w = inp.height // 8, inp.width // 8
+        key = jax.random.PRNGKey(inp.seed if inp.seed is not None else 0)
+        if inp.task == ImageTask.TEXT_TO_IMAGE or inp.image_latents is None:
+            latents = jax.random.normal(key, (1, C, h, w), jnp.float32)
+        else:
+            il = jnp.asarray(np.asarray(inp.image_latents), jnp.float32)
+            noise = jax.random.normal(key, il.shape, jnp.float32)
+            latents = 0.5 * il + 0.5 * noise  # I2I: partial renoise
+        if inp.prompt_embeds is not None:
+            te = jnp.asarray(np.asarray(inp.prompt_embeds), jnp.float32)
+            tm = (
+                jnp.asarray(np.asarray(inp.prompt_embeds_mask))
+                if inp.prompt_embeds_mask is not None
+                else jnp.ones(te.shape[:2], jnp.int32)
+            )
+        else:
+            te = jnp.zeros((1, 8, self.cfg.text_dim), jnp.float32)
+            tm = jnp.ones((1, 8), jnp.int32)
+        denoise = self._get_denoiser(inp.num_inference_steps)
+        latents = denoise(self.params, latents, te, tm, inp.guidance_scale, key)
+
+        pixels = None
+        if inp.output_mode in (ImageOutputMode.PIXELS,
+                               ImageOutputMode.PIXELS_AND_LATENTS):
+            if self.vae is not None:
+                pixels = self.vae.decode(latents)
+            else:
+                from vllm_omni_draft_tpu.models import vae as vae_mod
+
+                self.vae = vae_mod.VAE(vae_mod.VAEConfig(
+                    latent_channels=self.cfg.latent_channels))
+                pixels = self.vae.decode(latents)
+        return ImageGenOutputs(
+            latents=latents
+            if inp.output_mode != ImageOutputMode.PIXELS
+            else None,
+            pixels=pixels,
+        )

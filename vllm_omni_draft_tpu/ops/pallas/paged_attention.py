@@ -3,18 +3,20 @@
 TPU-native replacement for vLLM's CUDA PagedAttention (reference surface:
 `src/doc/test_report.md:118`, SURVEY.md §2.4). Design:
 
-- grid (B, Hkv): each program owns one sequence x one KV head group;
-  its G*T query rows (G = Hq/Hkv grouped queries, T = 1 decode or K+1
-  verify) live in VMEM the whole time.
+- grid (B,): each program owns one sequence; all its KV-head groups'
+  G*T query rows (G = Hq/Hkv grouped queries, T = 1 decode or K+1 verify)
+  live in VMEM the whole time.
 - the sequence's KV is streamed from HBM in chunks of `CHUNK_BLOCKS`
-  physical blocks via double-buffered async DMA driven by the
-  scalar-prefetched block table — only `kv_len` tokens are ever read
-  (the XLA gather fallback reads the padded maximum).
-- online-softmax (flash) accumulation in f32; fp8 KV is dequantized
-  in-register on the way into the MXU.
+  whole physical blocks ([BS, Hkv, D] each — a head-sliced DMA would
+  violate the (sublane, lane) tiling of the cache and read 4x more
+  overall) via double-buffered async DMA driven by the scalar-prefetched
+  block table — only `kv_len` tokens are ever read (the XLA gather
+  fallback reads the padded maximum).
+- online-softmax (flash) accumulation in f32, vectorized over heads;
+  fp8 KV is dequantized in-register on the way into the MXU.
 
 Causal rule: query row t attends cache index j iff j <= kv_len - T + t —
-which matches the engine's position-based masking for decode, verify, and
+matching the engine's position-based masking for decode, verify, and
 chunked prefill alike (positions[b, t] == kv_lens[b] - T + t).
 """
 
@@ -41,13 +43,13 @@ def _kernel(
     kvlen_ref,  # [B] int32 (SMEM)
     layer_ref,  # [1] int32 (SMEM) — layer index into a full 5-D cache
     # inputs
-    q_ref,  # [1, 1, GTP, D] VMEM
+    q_ref,  # [1, Hkv, GTP, D] VMEM
     k_hbm,  # [NB, BS, Hkv, D] or [L, NB, BS, Hkv, D] HBM
     v_hbm,
     # outputs
-    out_ref,  # [1, 1, GTP, D] VMEM
+    out_ref,  # [1, Hkv, GTP, D] VMEM
     # scratch
-    kbuf,  # [2, CHUNK_T, D] VMEM (cache dtype)
+    kbuf,  # [2, CHUNK_T, Hkv, D] VMEM (cache dtype)
     vbuf,
     sem,  # DMA sems [2, 2, CHUNK_BLOCKS]
     *,
@@ -56,14 +58,12 @@ def _kernel(
     CHUNK_BLOCKS: int,
     scale: float,
     kv_scale: float,
-    max_chunks: int,
     fp8: bool,
     full_cache: bool,
 ):
     b = pl.program_id(0)
-    h = pl.program_id(1)
     CHUNK_T = CHUNK_BLOCKS * BS
-    GTP, D = q_ref.shape[2], q_ref.shape[3]
+    Hkv, GTP, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
     kv_len = kvlen_ref[b]
     layer = layer_ref[0]
 
@@ -76,9 +76,11 @@ def _kernel(
         num_chunks = pl.cdiv(kv_len, CHUNK_T)
 
         def src(hbm, bid):
+            # whole-block copy [BS, Hkv, D]: slices only the major dim,
+            # so the (sublane, lane) tiling is preserved
             if full_cache:
-                return hbm.at[layer, bid, :, h, :]
-            return hbm.at[bid, :, h, :]
+                return hbm.at[layer, bid]
+            return hbm.at[bid]
 
         def start_load(c, slot):
             base = c * CHUNK_BLOCKS
@@ -86,12 +88,12 @@ def _kernel(
                 bid = bt_ref[b, base + i]
                 pltpu.make_async_copy(
                     src(k_hbm, bid),
-                    kbuf.at[slot, pl.ds(i * BS, BS), :],
+                    kbuf.at[slot, pl.ds(i * BS, BS)],
                     sem.at[slot, 0, i],
                 ).start()
                 pltpu.make_async_copy(
                     src(v_hbm, bid),
-                    vbuf.at[slot, pl.ds(i * BS, BS), :],
+                    vbuf.at[slot, pl.ds(i * BS, BS)],
                     sem.at[slot, 1, i],
                 ).start()
 
@@ -101,24 +103,24 @@ def _kernel(
                 bid = bt_ref[b, base + i]
                 pltpu.make_async_copy(
                     src(k_hbm, bid),
-                    kbuf.at[slot, pl.ds(i * BS, BS), :],
+                    kbuf.at[slot, pl.ds(i * BS, BS)],
                     sem.at[slot, 0, i],
                 ).wait()
                 pltpu.make_async_copy(
                     src(v_hbm, bid),
-                    vbuf.at[slot, pl.ds(i * BS, BS), :],
+                    vbuf.at[slot, pl.ds(i * BS, BS)],
                     sem.at[slot, 1, i],
                 ).wait()
 
         start_load(0, 0)
-        q = q_ref[0, 0].astype(jnp.float32)  # [GTP, D]
+        q = q_ref[0].astype(jnp.float32)  # [Hkv, GTP, D]
 
-        # row t (query offset) for each padded row r: t = r % T
-        row_t = jax.lax.broadcasted_iota(jnp.int32, (GTP, CHUNK_T), 0) % T
-        col = jax.lax.broadcasted_iota(jnp.int32, (GTP, CHUNK_T), 1)
+        # query offset t for each padded row r: t = r % T
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (Hkv, GTP, CHUNK_T), 1) % T
+        col = jax.lax.broadcasted_iota(jnp.int32, (Hkv, GTP, CHUNK_T), 2)
 
         def body(c, carry):
-            m, l, acc = carry
+            m, l, acc = carry  # [Hkv, GTP, 1] x2, [Hkv, GTP, D]
             slot = c % 2
 
             @pl.when(c + 1 < num_chunks)
@@ -126,16 +128,22 @@ def _kernel(
                 start_load(c + 1, (c + 1) % 2)
 
             wait_load(c, slot)
-            k = kbuf[slot].astype(jnp.float32)
+            k = kbuf[slot].astype(jnp.float32)  # [CHUNK_T, Hkv, D]
             v = vbuf[slot].astype(jnp.float32)
             if fp8:
                 k = k * kv_scale
                 v = v * kv_scale
 
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale  # [GTP, CHUNK_T]
+            # per-head scores stacked: [Hkv, GTP, CHUNK_T]
+            s = jnp.stack(
+                [
+                    jax.lax.dot_general(
+                        q[h], k[:, h, :], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for h in range(Hkv)
+                ]
+            ) * scale
 
             jg = c * CHUNK_T + col
             mask = (jg < kv_len) & (jg <= kv_len - T + row_t)
@@ -145,18 +153,24 @@ def _kernel(
             p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc_new = acc * alpha + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            pv = jnp.stack(
+                [
+                    jax.lax.dot_general(
+                        p[h], v[:, h, :], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for h in range(Hkv)
+                ]
             )
+            acc_new = acc * alpha + pv
             return m_new, l_new, acc_new
 
-        m0 = jnp.full((GTP, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((GTP, 1), jnp.float32)
-        acc0 = jnp.zeros((GTP, D), jnp.float32)
+        m0 = jnp.full((Hkv, GTP, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((Hkv, GTP, 1), jnp.float32)
+        acc0 = jnp.zeros((Hkv, GTP, D), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, acc0))
         out = acc / jnp.maximum(l, 1e-30)
-        out_ref[0, 0] = out.astype(out_ref.dtype)
+        out_ref[0] = out.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -191,7 +205,6 @@ def paged_attention_pallas(
     pad_cols = (-NBMAX) % chunk_blocks
     if pad_cols:
         block_tables = jnp.pad(block_tables, ((0, 0), (0, pad_cols)))
-    max_chunks = block_tables.shape[1] // chunk_blocks
 
     # [B, T, Hkv, G, D] -> [B, Hkv, G, T, D] -> [B, Hkv, GT, D], pad rows
     qr = q.reshape(B, T, Hkv, G, D).transpose(0, 2, 3, 1, 4).reshape(B, Hkv, GT, D)
@@ -206,28 +219,27 @@ def paged_attention_pallas(
         CHUNK_BLOCKS=chunk_blocks,
         scale=scale,
         kv_scale=kv_scale,
-        max_chunks=max_chunks,
         fp8=fp8,
         full_cache=full_cache,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, Hkv),
+        grid=(B,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, GTP, D), lambda b, h, *_: (b, h, 0, 0),
+                (1, Hkv, GTP, D), lambda b, *_: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, GTP, D), lambda b, h, *_: (b, h, 0, 0),
+            (1, Hkv, GTP, D), lambda b, *_: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK_T, D), k_cache.dtype),
-            pltpu.VMEM((2, CHUNK_T, D), v_cache.dtype),
+            pltpu.VMEM((2, CHUNK_T, Hkv, D), k_cache.dtype),
+            pltpu.VMEM((2, CHUNK_T, Hkv, D), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2, chunk_blocks)),
         ],
     )
@@ -236,7 +248,7 @@ def paged_attention_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, GTP, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel",),
         ),
     )(block_tables, kv_lens, layer_arr, qr, k_cache, v_cache)
 
@@ -255,7 +267,9 @@ def paged_attention_dispatch(q, k_cache, v_cache, layer,
     `layer` is None for a per-layer 4-D cache, a traced scalar for the
     full 5-D cache."""
     T = q.shape[1]
-    if T > MAX_KERNEL_QLEN:
+    # the kernel's block DMAs require lane-aligned head_dim (Mosaic tiling);
+    # small-head models (drafts) take the XLA path — they're cheap anyway
+    if T > MAX_KERNEL_QLEN or q.shape[-1] % 128 != 0:
         from vllm_omni_draft_tpu.ops.attention import (
             _attention_gathered,
             paged_attention as xla_ref,

@@ -70,9 +70,9 @@ def matmul_int8_pallas(
 def _int4_kernel(x_ref, w_ref, s_ref, o_ref, *, group_size: int):
     # x [BP, I]; w [O_T, I//2] uint8 split-half; s [O_T, G] f32; o [BP, O_T]
     x = x_ref[...]
-    p = w_ref[...]
-    lo = (p & 0xF).astype(jnp.int8) - 8
-    hi = (p >> 4).astype(jnp.int8) - 8
+    p = w_ref[...].astype(jnp.int32)  # Mosaic has no i8 vector arithmetic
+    lo = (p & 0xF) - 8
+    hi = (p >> 4) - 8
     w = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)  # [O_T, I]
     O_T, G = s_ref.shape
     I = w.shape[-1]
