@@ -89,9 +89,8 @@ class EngineCore:
     # engine_core.md:18)
     def reset_prefix_cache(self) -> None:
         kv = self.scheduler.kv
-        kv.pool.cached_free.clear()
-        kv.pool.cached_used.clear()
-        kv.pool.block_hash.clear()
+        kv.pool.clear_cache()
+        kv._req_hashes.clear()
 
     def get_stats(self) -> dict:
         return {

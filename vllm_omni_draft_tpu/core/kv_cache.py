@@ -24,6 +24,19 @@ from vllm_omni_draft_tpu.core.request import Request
 NULL_BLOCK = 0
 
 
+
+def _mm_cache_key(mm_inputs):
+    """Namespace prefix hashes by multimodal content. Prefer an explicit
+    content key (processors set "cache_key"); fall back to object identity
+    (conservative: same-object only — id() reuse after gc could otherwise
+    alias different images)."""
+    if mm_inputs is None:
+        return None
+    if isinstance(mm_inputs, dict) and "cache_key" in mm_inputs:
+        return mm_inputs["cache_key"]
+    return ("mmid", id(mm_inputs))
+
+
 def hash_block(parent_hash: int, token_ids: tuple[int, ...], extra=None) -> int:
     """Chain hash for one block of tokens. `extra` namespaces the cache
     (e.g. multimodal content hash) so different modalities never collide."""
@@ -100,6 +113,16 @@ class BlockPool:
             self.block_hash.pop(bid, None)
             self.free.append(bid)
 
+    def clear_cache(self) -> None:
+        """Drop all prefix-cache state (utility op: cache reset)."""
+        for h, bid in self.cached_free.items():
+            self.block_hash.pop(bid, None)
+            self.free.append(bid)
+        self.cached_free.clear()
+        for h, bid in list(self.cached_used.items()):
+            self.block_hash.pop(bid, None)
+        self.cached_used.clear()
+
 
 class KVCacheManager:
     """Per-request block-table accounting on top of BlockPool."""
@@ -109,10 +132,25 @@ class KVCacheManager:
         num_blocks: int,
         block_size: int,
         enable_prefix_caching: bool = True,
+        use_native: bool | None = None,
     ):
         self.block_size = block_size
         self.enable_prefix_caching = enable_prefix_caching
-        self.pool = BlockPool(num_blocks)
+        # native C++ pool + xxh64 chain hashing when the toolchain built it
+        # (csrc/core_ext.cc); pure-Python otherwise — identical semantics,
+        # parity-tested in tests/test_native_pool.py
+        from vllm_omni_draft_tpu.core import native
+
+        if use_native is None:
+            use_native = native.available()
+        if use_native:
+            self.pool = native.NativeBlockPool(num_blocks)
+            self._hash = lambda parent, toks, extra: native.chain_hash(
+                parent, toks, 0 if extra is None else (hash(extra) & (2**64 - 1))
+            )
+        else:
+            self.pool = BlockPool(num_blocks)
+            self._hash = hash_block
         # request_id -> list of chain hashes committed so far
         self._req_hashes: dict[str, list[int]] = {}
 
@@ -134,14 +172,14 @@ class KVCacheManager:
         prompt = request.all_token_ids
         if target_tokens is None:
             target_tokens = len(request.prompt_token_ids)
-        mm_key = id(request.mm_inputs) if request.mm_inputs is not None else None
+        mm_key = _mm_cache_key(request.mm_inputs)
         # last block is excluded so at least one token is computed
         max_full = (target_tokens - 1) // bs
         blocks: list[int] = []
         hashes: list[int] = []
         h = 0
         for i in range(max_full):
-            h = hash_block(h, tuple(prompt[i * bs : (i + 1) * bs]), mm_key)
+            h = self._hash(h, tuple(prompt[i * bs : (i + 1) * bs]), mm_key)
             bid = self.pool.lookup_cached(h)
             if bid is None:
                 break
@@ -176,7 +214,7 @@ class KVCacheManager:
         needed = -(-total // self.block_size)  # ceil
         have = len(request.block_ids) + len(new_computed_blocks)
         n_alloc = needed - have
-        if n_alloc > len(self.pool.free) + len(self.pool.cached_free):
+        if n_alloc > self.pool.num_free:
             return None
         if new_computed_blocks:
             request.block_ids.extend(new_computed_blocks)
@@ -193,11 +231,11 @@ class KVCacheManager:
         bs = self.block_size
         hashes = self._req_hashes.setdefault(request.request_id, [])
         tokens = request.all_token_ids
-        mm_key = id(request.mm_inputs) if request.mm_inputs is not None else None
+        mm_key = _mm_cache_key(request.mm_inputs)
         n_full = request.num_computed_tokens // bs
         h = hashes[-1] if hashes else 0
         for i in range(len(hashes), n_full):
-            h = hash_block(h, tuple(tokens[i * bs : (i + 1) * bs]), mm_key)
+            h = self._hash(h, tuple(tokens[i * bs : (i + 1) * bs]), mm_key)
             hashes.append(h)
             self.pool.commit_hash(request.block_ids[i], h)
 

@@ -230,6 +230,33 @@ class ModelRunner:
 
         self._prefill_fn = jit(prefill, donate_argnums=(1,))
 
+        def prefill_mm(params, kv, tokens, start_pos, num_real, block_table,
+                       mm_embeds, mm_mask):
+            """Multimodal prefill: image-placeholder positions take the
+            vision-encoder embeddings instead of the token embedding
+            (reference capability: image tokens entering prefill,
+            `src/doc/engine_core.md:297-298`)."""
+            T = tokens.shape[1]
+            idx = jnp.arange(T, dtype=jnp.int32)
+            real = idx < num_real
+            positions = jnp.where(real, start_pos + idx, -1)[None, :]
+            meta = AttentionMetadata(
+                block_tables=block_table,
+                kv_lens=(start_pos + num_real)[None],
+                positions=positions,
+                slot_mapping=_slots_from_positions(block_table, positions, bs),
+            )
+            x = params["embed"][jnp.maximum(tokens, 0)]
+            x = jnp.where(mm_mask[:, :, None], mm_embeds.astype(x.dtype), x)
+            hidden, kv = self.target_fwd(
+                params, tokens, positions, kv, meta, input_embeds=x
+            )
+            last = hidden[0, jnp.maximum(num_real - 1, 0)]
+            logits = self.target_mod.compute_logits(cfg, params, last[None, :])[0]
+            return logits, kv
+
+        self._prefill_mm_fn = jit(prefill_mm, donate_argnums=(1,))
+
         if self.draft_cfg is not None:
             dcfg = self.draft_cfg
 
@@ -474,6 +501,27 @@ class ModelRunner:
         n = len(req.block_ids)
         self.block_tables[req.slot, :n] = req.block_ids
 
+    def _mm_chunk(self, req: Request, sp, chunk_tokens: np.ndarray, T_pad: int):
+        """Align vision embeddings with this chunk's image-placeholder
+        positions. mm_inputs = {"embeds": [N_img_tokens, D], and optional
+        "image_token_id"}; the j-th placeholder in the prompt takes
+        embeds[j]."""
+        from vllm_omni_draft_tpu.models.vision import IMAGE_PAD_TOKEN_ID
+
+        mm = req.mm_inputs
+        embeds = np.asarray(mm["embeds"])
+        pad_id = mm.get("image_token_id", IMAGE_PAD_TOKEN_ID)
+        D = embeds.shape[-1]
+        mask = chunk_tokens == pad_id  # [T_pad] (padding zeros never match)
+        out = np.zeros((T_pad, D), embeds.dtype)
+        if mask.any():
+            prior = sum(
+                1 for t in req.all_token_ids[: sp.chunk_start] if t == pad_id
+            )
+            idx = prior + np.arange(int(mask.sum()))
+            out[np.where(mask)[0]] = embeds[idx]
+        return out, mask
+
     # ------------------------------------------------------------------
     # execute one scheduler step
     # ------------------------------------------------------------------
@@ -497,14 +545,27 @@ class ModelRunner:
             tokens = np.zeros((1, T), np.int32)
             tokens[0, : sp.chunk_len] = tok_slice
             bt = jnp.asarray(self.block_tables[req.slot : req.slot + 1])
-            logits, self.kv_t = self._prefill_fn(
-                self.target_params,
-                self.kv_t,
-                jnp.asarray(tokens),
-                jnp.int32(sp.chunk_start),
-                jnp.int32(sp.chunk_len),
-                bt,
-            )
+            if req.mm_inputs is not None:
+                mm_embeds, mm_mask = self._mm_chunk(req, sp, tokens[0], T)
+                logits, self.kv_t = self._prefill_mm_fn(
+                    self.target_params,
+                    self.kv_t,
+                    jnp.asarray(tokens),
+                    jnp.int32(sp.chunk_start),
+                    jnp.int32(sp.chunk_len),
+                    bt,
+                    jnp.asarray(mm_embeds)[None],
+                    jnp.asarray(mm_mask)[None],
+                )
+            else:
+                logits, self.kv_t = self._prefill_fn(
+                    self.target_params,
+                    self.kv_t,
+                    jnp.asarray(tokens),
+                    jnp.int32(sp.chunk_start),
+                    jnp.int32(sp.chunk_len),
+                    bt,
+                )
             if self.kv_d is not None:
                 self.kv_d = self._draft_prefill_fn(
                     self.draft_params,

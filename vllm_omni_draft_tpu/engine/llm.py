@@ -46,7 +46,23 @@ class LLM:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _validate_mm(prompt_token_ids, mm_inputs) -> None:
+        if not isinstance(mm_inputs, dict) or "embeds" not in mm_inputs:
+            return
+        from vllm_omni_draft_tpu.models.vision import IMAGE_PAD_TOKEN_ID
+
+        pad_id = mm_inputs.get("image_token_id", IMAGE_PAD_TOKEN_ID)
+        n_pad = sum(1 for t in prompt_token_ids if t == pad_id)
+        n_emb = len(mm_inputs["embeds"])
+        if n_pad != n_emb:
+            raise ValueError(
+                f"prompt has {n_pad} image placeholder tokens but mm_inputs "
+                f"provides {n_emb} embeddings"
+            )
+
     def _add(self, prompt_token_ids: list[int], sp: SamplingParams, mm_inputs=None) -> Request:
+        self._validate_mm(prompt_token_ids, mm_inputs)
         if (
             not sp.ignore_eos
             and getattr(self.tokenizer, "eos_token_id", None) is not None
