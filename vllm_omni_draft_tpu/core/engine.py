@@ -38,10 +38,17 @@ class EngineCore:
             self.runner.num_blocks,
             config.speculative,
         )
+        from vllm_omni_draft_tpu.core.structured import StructuredOutputManager
+
+        self.structured = StructuredOutputManager()
+        self.runner.structured = self.structured
         self.executor_fail_callback = executor_fail_callback
         self.iteration_stats = IterationStats()
 
     def add_request(self, request: Request) -> None:
+        if request.sampling_params.grammar is not None:
+            request.sampling_params.grammar.validate(self.config.model.vocab_size)
+            self.structured.add(request.request_id, request.sampling_params.grammar)
         self.scheduler.add_request(request)
 
     def abort_requests(self, request_ids: list[str]) -> None:
@@ -72,7 +79,17 @@ class EngineCore:
             raise
         updated = self.scheduler.update_from_output(sched, runner_out)
         for req in updated:
+            # advance grammar FSMs; terminal grammar ends the request
+            if req.sampling_params.grammar is not None and not req.is_finished:
+                new = runner_out.new_tokens.get(req.request_id, [])
+                if self.structured.advance(req.request_id, new):
+                    from vllm_omni_draft_tpu.core.request import RequestStatus
+
+                    self.scheduler.finish_request(
+                        req, RequestStatus.FINISHED_STOPPED
+                    )
             if req.is_finished:
+                self.structured.remove(req.request_id)
                 self.runner.release_slot(req)
             if req.first_token_time is None:
                 req.first_token_time = time.monotonic()

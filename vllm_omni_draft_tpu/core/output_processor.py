@@ -112,6 +112,13 @@ class OutputProcessor:
             text = state.detok.text if state.detok else ""
             token_ids = list(req.output_token_ids)
         finish_reason = FINISH_REASON.get(req.status) if finished else None
+        lp = None
+        if req.sampling_params.logprobs is not None and req.logprobs:
+            lp = (
+                req.logprobs[len(req.logprobs) - len(token_ids):]
+                if sp.output_kind == OutputKind.DELTA
+                else list(req.logprobs)
+            )
         return RequestOutput(
             request_id=req.request_id,
             prompt_token_ids=req.prompt_token_ids,
@@ -121,6 +128,7 @@ class OutputProcessor:
                     text=text,
                     token_ids=token_ids,
                     finish_reason=finish_reason,
+                    logprobs=lp,
                 )
             ],
             finished=finished,

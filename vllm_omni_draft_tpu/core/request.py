@@ -57,6 +57,9 @@ class SamplingParams:
     ignore_eos: bool = False
     logprobs: int | None = None   # top-k logprobs to return (None = off)
     output_kind: OutputKind = OutputKind.CUMULATIVE
+    # structured output: a core.structured.Grammar constraining emissions
+    # (grammar-constrained requests decode one token per device call)
+    grammar: Any = None
 
     def __post_init__(self):
         if self.max_tokens < 1:
@@ -94,6 +97,8 @@ class Request:
                                   # reference: engine_core.md:273-274)
     # spec decode: draft tokens proposed for the next step
     spec_token_ids: list[int] = field(default_factory=list)
+    # per-output-token top logprobs (when sampling_params.logprobs set)
+    logprobs: list[dict[int, float]] = field(default_factory=list)
     # engine slot index while RUNNING (-1 when not resident)
     slot: int = -1
     # output processing

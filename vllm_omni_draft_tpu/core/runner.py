@@ -112,7 +112,14 @@ def determine_num_blocks(cfg: EngineConfig, resident_bytes: int = 0) -> int:
         )
     else:
         return _DEFAULT_NUM_BLOCKS
-    return max(int(free) // per_block, 16)
+    num = max(int(free) // per_block, 16)
+    # cap at the maximum the scheduler can ever address: every slot at
+    # max_model_len (+ spec/fused-step headroom) — a bigger pool is pure
+    # HBM waste that crowds out XLA temp buffers
+    k = cfg.speculative.num_speculative_tokens if cfg.speculative else 0
+    m = max(1, cfg.scheduler.decode_steps)
+    per_seq = -(-(cfg.model.max_model_len + m * (k + 1)) // cfg.cache.block_size)
+    return min(num, cfg.scheduler.max_num_seqs * per_seq + 1)
 
 
 class ModelRunner:
@@ -283,6 +290,20 @@ class ModelRunner:
         self._sample_fn = jit(sample_one)
         self._argmax_fn = jit(lambda logits: jnp.argmax(logits, -1).astype(jnp.int32))
 
+        def sample_one_masked(logits, temp, top_k, top_p, key, allowed_ids):
+            V = logits.shape[0]
+            valid = allowed_ids >= 0
+            ids = jnp.where(valid, allowed_ids, V)
+            gathered = logits[jnp.minimum(ids, V - 1)]
+            masked = jnp.full_like(logits, -1e30)
+            masked = masked.at[ids].set(
+                jnp.where(valid, gathered, -1e30), mode="drop"
+            )
+            probs = compute_probs(masked[None], temp[None], top_k[None], top_p[None])
+            return sample_from_probs(probs, key)[0]
+
+        self._sample_masked_fn = jit(sample_one_masked)
+
         M = self.M
 
         def _decode_iter(params, kv, cur, lens, block_tables, pick_token):
@@ -337,6 +358,68 @@ class ModelRunner:
             return toks.T, kv
 
         self._decode_greedy_fn = jit(decode_greedy, donate_argnums=(1,))
+
+        def decode_masked(params, kv, last_tokens, seq_lens, block_tables,
+                          temps, top_ks, top_ps, key, allowed_ids, allowed_cnt):
+            """Grammar-constrained single-iteration decode: rows with
+            allowed_cnt > 0 sample only from their allowed-token set
+            (reference: grammar bitmask fed to the sampler,
+            `engine_core.md:307-310`). One iteration per call — the host
+            FSM must advance between tokens."""
+            B = last_tokens.shape[0]
+            V = cfg.vocab_size
+            A = allowed_ids.shape[1]
+
+            def pick(logits):
+                valid = allowed_ids >= 0  # [B, A]
+                ids = jnp.where(valid, allowed_ids, V)  # OOB => dropped
+                gathered = jnp.take_along_axis(
+                    logits, jnp.minimum(ids, V - 1), axis=1
+                )
+                masked = jnp.full_like(logits, -1e30)
+                masked = masked.at[
+                    jnp.arange(B)[:, None], ids
+                ].set(jnp.where(valid, gathered, -1e30), mode="drop")
+                constrained = allowed_cnt > 0
+                eff = jnp.where(constrained[:, None], masked, logits)
+                probs = compute_probs(eff, temps, top_ks, top_ps)
+                return sample_from_probs(probs, key)
+
+            kv, tok, _ = _decode_iter(
+                params, kv, last_tokens, seq_lens, block_tables, pick
+            )
+            return tok[:, None], kv  # [B, 1]
+
+        self._decode_masked_fn = jit(decode_masked, donate_argnums=(1,))
+
+        LPK = 8  # top-k logprobs returned when requested
+
+        def decode_logprobs(params, kv, last_tokens, seq_lens, block_tables,
+                            temps, top_ks, top_ps, key):
+            """Single-iteration decode that also returns top-k logprobs of
+            the sampling distribution plus the sampled token's logprob
+            (reference capability: logprobs processor,
+            `engine_core.md:412-475`)."""
+            out = {}
+
+            def pick(logits):
+                probs = compute_probs(logits, temps, top_ks, top_ps)
+                tok = sample_from_probs(probs, key)
+                greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                tok = jnp.where(temps <= 0.0, greedy_tok, tok)
+                logp = jnp.log(jnp.maximum(probs, 1e-30))
+                vals, ids = jax.lax.top_k(logp, LPK)
+                chosen = jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]
+                out["lp"] = (vals, ids.astype(jnp.int32), chosen)
+                return tok
+
+            kv, tok, _ = _decode_iter(
+                params, kv, last_tokens, seq_lens, block_tables, pick
+            )
+            vals, ids, chosen = out["lp"]
+            return tok[:, None], vals, ids, chosen, kv
+
+        self._decode_logprobs_fn = jit(decode_logprobs, donate_argnums=(1,))
 
         if self.draft_cfg is None or K == 0:
             return
@@ -576,7 +659,26 @@ class ModelRunner:
                     bt,
                 )
             if sp.is_final_chunk and sp.sample_on_final:
-                if req.sampling_params.is_greedy:
+                allowed = (
+                    getattr(self, "structured", None)
+                    and self.structured.allowed(req.request_id)
+                )
+                if allowed:
+                    from vllm_omni_draft_tpu.core.structured import MAX_ALLOWED
+
+                    ids = np.full(MAX_ALLOWED, -1, np.int32)
+                    ids[: min(len(allowed), MAX_ALLOWED)] = allowed[:MAX_ALLOWED]
+                    tok = int(
+                        self._sample_masked_fn(
+                            logits,
+                            jnp.float32(req.sampling_params.temperature),
+                            jnp.int32(req.sampling_params.top_k),
+                            jnp.float32(req.sampling_params.top_p),
+                            jax.random.fold_in(key, 1000 + i),
+                            jnp.asarray(ids),
+                        )
+                    )
+                elif req.sampling_params.is_greedy:
                     tok = int(self._argmax_fn(logits))
                 else:
                     tok = int(
@@ -611,6 +713,20 @@ class ModelRunner:
             all_greedy = all(
                 req.sampling_params.is_greedy for req in sched.decodes
             )
+            # grammar-constrained rows force the masked single-step path
+            structured = getattr(self, "structured", None)
+            allowed_lists = (
+                {
+                    req.request_id: structured.allowed(req.request_id)
+                    for req in sched.decodes
+                }
+                if structured is not None
+                else {}
+            )
+            any_structured = any(v is not None for v in allowed_lists.values())
+            any_logprobs = any(
+                req.sampling_params.logprobs is not None for req in sched.decodes
+            )
             base_args = (
                 jnp.asarray(self.last_tokens),
                 seq_lens,
@@ -622,7 +738,52 @@ class ModelRunner:
                 jnp.asarray(self.top_ps),
                 key,
             )
-            if self.K > 0 and self.kv_d is not None:
+            if any_structured:
+                from vllm_omni_draft_tpu.core.structured import MAX_ALLOWED
+
+                allowed_ids = np.full((self.B, MAX_ALLOWED), -1, np.int32)
+                allowed_cnt = np.zeros(self.B, np.int32)
+                for req in sched.decodes:
+                    al = allowed_lists.get(req.request_id)
+                    if al:
+                        n = min(len(al), MAX_ALLOWED)
+                        allowed_ids[req.slot, :n] = al[:n]
+                        allowed_cnt[req.slot] = n
+                toks, self.kv_t = self._decode_masked_fn(
+                    self.target_params, self.kv_t, *base_args, *sample_args,
+                    jnp.asarray(allowed_ids), jnp.asarray(allowed_cnt),
+                )
+                toks_np = np.asarray(toks)  # [B, 1]
+                for req in sched.decodes:
+                    emitted = toks_np[req.slot].tolist()
+                    out.new_tokens[req.request_id] = emitted
+                    self.last_tokens[req.slot] = emitted[-1]
+                    self.seq_lens[req.slot] += len(emitted)
+            elif any_logprobs:
+                toks, lp_vals, lp_ids, lp_chosen, self.kv_t = (
+                    self._decode_logprobs_fn(
+                        self.target_params, self.kv_t, *base_args, *sample_args
+                    )
+                )
+                toks_np = np.asarray(toks)
+                vals_np, ids_np = np.asarray(lp_vals), np.asarray(lp_ids)
+                chosen_np = np.asarray(lp_chosen)
+                for req in sched.decodes:
+                    emitted = toks_np[req.slot].tolist()
+                    out.new_tokens[req.request_id] = emitted
+                    k_lp = req.sampling_params.logprobs
+                    if k_lp is not None:
+                        top = {
+                            int(i): float(v)
+                            for i, v in zip(
+                                ids_np[req.slot][:k_lp], vals_np[req.slot][:k_lp]
+                            )
+                        }
+                        top[emitted[-1]] = float(chosen_np[req.slot])
+                        out.logprobs.setdefault(req.request_id, []).append(top)
+                    self.last_tokens[req.slot] = emitted[-1]
+                    self.seq_lens[req.slot] += len(emitted)
+            elif self.K > 0 and self.kv_d is not None:
                 if all_greedy:
                     toks, num_emitted, self.kv_t, self.kv_d = self._spec_greedy_fn(
                         self.target_params, self.draft_params, self.kv_t,

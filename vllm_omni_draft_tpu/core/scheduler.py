@@ -316,6 +316,9 @@ class Scheduler:
             if not toks:
                 continue
             req.output_token_ids.extend(toks)
+            lps = runner_out.logprobs.get(req.request_id)
+            if lps:
+                req.logprobs.extend(lps)
             # KV valid through len-1 (last emitted token's KV pends)
             req.num_computed_tokens = req.num_tokens - 1
             acc = runner_out.num_accepted.get(req.request_id)

@@ -107,12 +107,18 @@ def linear(x: jax.Array, w, out_dtype=None) -> jax.Array:
     kind = quant_ops.weight_kind(w)
     if kind == "dense":
         y = x @ w["w"].T.astype(x.dtype)
-    elif kind == "int8":
-        y = quant_ops.matmul_int8(x, w["w"], w["s"])
-    elif kind == "int4":
-        y = quant_ops.matmul_int4(x, w["w"], w["s"])
     else:
-        raise ValueError(f"unknown linear kind {kind!r}")
+        # flatten leading dims: the Pallas fused dequant kernels take 2-D
+        # activations (and the XLA fallback is shape-agnostic)
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if kind == "int8":
+            y = quant_ops.matmul_int8(x2, w["w"], w["s"])
+        elif kind == "int4":
+            y = quant_ops.matmul_int4(x2, w["w"], w["s"])
+        else:
+            raise ValueError(f"unknown linear kind {kind!r}")
+        y = y.reshape(*lead, -1)
     if "b" in w:
         y = y + w["b"].astype(y.dtype)
     return y.astype(out_dtype)

@@ -73,7 +73,9 @@ def _int4_kernel(x_ref, w_ref, s_ref, o_ref, *, group_size: int):
     p = w_ref[...].astype(jnp.int32)  # Mosaic has no i8 vector arithmetic
     lo = (p & 0xF) - 8
     hi = (p >> 4) - 8
-    w = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)  # [O_T, I]
+    # dequantize in the activation dtype (int4 values are bf16-exact;
+    # an f32 intermediate would double the VMEM footprint of the tile)
+    w = jnp.concatenate([lo, hi], axis=-1).astype(x.dtype)  # [O_T, I]
     O_T, G = s_ref.shape
     I = w.shape[-1]
     # expand group scales to per-column via broadcast+reshape (constant
@@ -81,7 +83,7 @@ def _int4_kernel(x_ref, w_ref, s_ref, o_ref, *, group_size: int):
     scales = jnp.broadcast_to(
         s_ref[...][:, :, None], (O_T, G, group_size)
     ).reshape(O_T, I)
-    wf = (w * scales).astype(x.dtype)
+    wf = w * scales.astype(x.dtype)
     o_ref[...] = jax.lax.dot_general(
         x, wf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
@@ -101,7 +103,10 @@ def matmul_int4_pallas(
     BP = max(8, -(-B // 8) * 8)
     if BP != B:
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
-    block_o = min(block_o, O)
+    # VMEM budget: packed (I/2 B) + dequant tile (2I B) + pipeline 2x
+    # must stay well under the ~16MB scoped limit alongside x and out
+    budget_rows = max(64, (6 * 1024 * 1024) // (5 * I // 2))
+    block_o = min(block_o, O, 1 << (budget_rows.bit_length() - 1))
     while O % block_o:
         block_o //= 2
 
