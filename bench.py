@@ -43,7 +43,8 @@ def main():
     steps = int(os.environ.get("VOT_BENCH_STEPS", "20"))
     quant = os.environ.get("VOT_BENCH_QUANT", "int8")
     quant = None if quant in ("none", "") else quant
-    use_spec = os.environ.get("VOT_BENCH_SPEC", "0") == "1"
+    spec_mode = os.environ.get("VOT_BENCH_SPEC", "0")  # 0 | 1 | oracle
+    use_spec = spec_mode in ("1", "oracle")
     prompt_len = int(os.environ.get("VOT_BENCH_PROMPT", "128"))
     max_model_len = 512
 
@@ -60,7 +61,29 @@ def main():
         quantization=quant,
     )
     spec = None
-    if use_spec:
+    if spec_mode == "oracle":
+        # acceptance-controlled machinery benchmark: the draft is the
+        # target's first layers/4 layers (shared weights) and the target's
+        # later layers are zeroed out (identity residuals) after engine
+        # build, so draft logits == target logits exactly -> acceptance 1.0.
+        # This measures the spec-decode machinery's speedup ceiling with
+        # REAL relative draft/target costs; real-weight acceptance rates
+        # land between this and the 0%-acceptance floor (VOT_BENCH_SPEC=1
+        # with an unrelated random draft).
+        draft = ModelConfig(
+            vocab_size=151_936,
+            hidden_size=3584,
+            intermediate_size=18944,
+            num_layers=max(layers // 4, 1),
+            num_heads=28,
+            num_kv_heads=4,
+            head_dim=128,
+            max_model_len=max_model_len,
+            dtype="bfloat16",
+            quantization=quant,
+        )
+        spec = SpeculativeConfig(draft_model=draft, num_speculative_tokens=4)
+    elif use_spec:
         draft = ModelConfig(
             vocab_size=151_936,
             hidden_size=896,
@@ -92,7 +115,40 @@ def main():
     engine = EngineCore(cfg)
     log(f"engine up in {time.perf_counter()-t0:.1f}s; "
         f"num_blocks={engine.runner.num_blocks} layers={layers} quant={quant} "
-        f"spec={use_spec}")
+        f"spec={spec_mode}")
+
+    if spec_mode == "oracle":
+        import jax
+        import jax.numpy as jnp
+
+        runner = engine.runner
+        Ld = spec.draft_model.num_layers
+
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=0)
+        def zero_late(params):
+            lyr = dict(params["layers"])
+            for name in ("o", "down"):
+                d = dict(lyr[name])
+                key = "s" if "s" in d else "w"
+                d[key] = d[key].at[Ld:].set(
+                    jnp.zeros_like(d[key][Ld:])
+                )
+                lyr[name] = d
+            return {**params, "layers": lyr}
+
+        runner.target_params = zero_late(runner.target_params)
+
+        @jax.jit
+        def make_draft(params):
+            lyr = jax.tree.map(lambda a: a[:Ld], params["layers"])
+            return {**params, "layers": lyr}
+
+        runner.draft_params = make_draft(runner.target_params)
+        jax.block_until_ready(runner.draft_params)
+        log(f"oracle spec: draft = first {Ld} target layers (shared), "
+            f"target layers >= {Ld} zeroed")
 
     rng = np.random.default_rng(0)
     sp = SamplingParams(max_tokens=4096, temperature=0.0, ignore_eos=True)
@@ -135,7 +191,7 @@ def main():
         json.dumps(
             {
                 "metric": f"decode_tokens_per_sec_per_chip_qwen7b_{quant or 'bf16'}"
-                + ("_spec" if use_spec else ""),
+                + (f"_spec_{spec_mode}" if use_spec else ""),
                 "value": round(tps, 1),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(tps / baseline_tps, 3),

@@ -225,3 +225,26 @@ def test_spec_decode_sampled_runs(hf_checkpoint, tmp_path_factory):
     sp = SamplingParams(max_tokens=10, temperature=0.7, top_p=0.95, ignore_eos=True)
     out = llm.generate([[1, 2, 3]], [sp])[0]
     assert len(out.outputs[0].token_ids) == 10
+
+
+def test_n_greater_than_one_sampling(hf_checkpoint):
+    """n>1 fan-out: one prompt, n completions in one RequestOutput
+    (parent/child aggregation; children share prompt KV via prefix cache)."""
+    path, hf = hf_checkpoint
+    llm = LLM(_config(path, max_num_seqs=6))
+    prompt = [3, 14, 15, 9, 26]
+    sp = SamplingParams(n=3, max_tokens=6, temperature=0.8, top_p=0.9,
+                        seed=0, ignore_eos=True)
+    out = llm.generate([prompt], [sp])[0]
+    assert len(out.outputs) == 3
+    assert [c.index for c in out.outputs] == [0, 1, 2]
+    assert all(len(c.token_ids) == 6 for c in out.outputs)
+    # sampled children should not all be identical
+    uniq = {tuple(c.token_ids) for c in out.outputs}
+    assert len(uniq) >= 2
+
+    # greedy n>1: all children identical, and match target-only greedy
+    spg = SamplingParams(n=2, max_tokens=6, temperature=0.0, ignore_eos=True)
+    outg = llm.generate([prompt], [spg])[0]
+    ref = _hf_greedy(hf, prompt, 6)
+    assert [c.token_ids for c in outg.outputs] == [ref, ref]

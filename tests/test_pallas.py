@@ -107,3 +107,29 @@ def test_paged_attention_kernel_fp8(monkeypatch):
         kv_scale=1.0, chunk_blocks=2,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("shape", [(8, 256, 128), (4, 512, 384)])
+def test_quant_matmul_kernels_interpret(shape, monkeypatch):
+    from vllm_omni_draft_tpu.ops.pallas import quant_matmul as qm
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **kw: orig_call(*a, **{**kw, "interpret": True})
+    )
+    B, I, O = shape
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, I), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (O, I), jnp.float32)
+
+    q8 = q.quantize_int8(w)
+    got8 = qm.matmul_int8_pallas(x, q8["w"], q8["s"], block_o=128)
+    ref8 = x @ q.dequantize(q8, jnp.float32).T
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(ref8),
+                               rtol=2e-3, atol=2e-3)
+
+    q4 = q.quantize_int4(w, group_size=32)
+    got4 = qm.matmul_int4_pallas(x, q4["w"], q4["s"], block_o=128)
+    ref4 = x @ q.dequantize(q4, jnp.float32).T
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(ref4),
+                               rtol=2e-3, atol=2e-3)

@@ -46,6 +46,7 @@ class OutputKind(enum.Enum):
 class SamplingParams:
     """Per-request sampling configuration."""
 
+    n: int = 1                    # completions per prompt (parent/child fan-out)
     max_tokens: int = 128
     temperature: float = 1.0      # 0.0 => greedy
     top_p: float = 1.0
@@ -62,6 +63,8 @@ class SamplingParams:
     grammar: Any = None
 
     def __post_init__(self):
+        if self.n < 1:
+            raise ValueError("n must be >= 1")
         if self.max_tokens < 1:
             raise ValueError("max_tokens must be >= 1")
         if self.temperature < 0:

@@ -8,6 +8,7 @@ requests finish.
 
 from __future__ import annotations
 
+import dataclasses
 import itertools
 
 from vllm_omni_draft_tpu.config import EngineConfig
@@ -99,10 +100,20 @@ class LLM:
         if len(sps) != n:
             raise ValueError("len(sampling_params) != len(prompts)")
         mms = mm_inputs if mm_inputs is not None else [None] * n
-        reqs = []
+        # n>1 sampling: fan one prompt out into n child requests (prefix
+        # caching shares their prompt KV); children aggregate back into a
+        # single RequestOutput with n CompletionOutputs (reference:
+        # parent/child fan-out, engine_core.md:815-822)
+        groups: list[list[Request]] = []
         for p, sp, mm in zip(prompts, sps, mms):
             ids = self.tokenizer.encode(p) if isinstance(p, str) else list(p)
-            reqs.append(self._add(ids, sp, mm))
+            children = []
+            for j in range(sp.n):
+                child_sp = sp if sp.n == 1 else dataclasses.replace(
+                    sp, n=1, seed=(sp.seed + j if sp.seed is not None else None)
+                )
+                children.append(self._add(ids, child_sp, mm))
+            groups.append(children)
         finals: dict[str, RequestOutput] = {}
         while self.engine.has_unfinished():
             updated = self.engine.step()
@@ -111,16 +122,25 @@ class LLM:
                     finals[out.request_id] = out
         # ignored requests (e.g. too-long prompts) never produce outputs
         results = []
-        for req in reqs:
-            out = finals.get(req.request_id)
-            if out is None:
-                out = RequestOutput(
-                    request_id=req.request_id,
-                    prompt_token_ids=req.prompt_token_ids,
-                    outputs=[],
+        for children in groups:
+            parent = children[0]
+            outs = []
+            cached = 0
+            for idx, child in enumerate(children):
+                o = finals.get(child.request_id)
+                if o is not None and o.outputs:
+                    comp = dataclasses.replace(o.outputs[0], index=idx)
+                    outs.append(comp)
+                    cached = max(cached, o.num_cached_tokens)
+            results.append(
+                RequestOutput(
+                    request_id=parent.request_id,
+                    prompt_token_ids=parent.prompt_token_ids,
+                    outputs=outs,
                     finished=True,
+                    num_cached_tokens=cached,
                 )
-            results.append(out)
+            )
         return results
 
     def chat(

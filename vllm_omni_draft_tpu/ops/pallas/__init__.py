@@ -28,8 +28,11 @@ def install(enable_attention: bool = True, enable_quant: bool = True) -> None:
     if enable_quant:
         from vllm_omni_draft_tpu.ops import quant
         from vllm_omni_draft_tpu.ops.pallas.quant_matmul import (
-            matmul_int4_pallas,
             matmul_int8_pallas,
         )
 
-        quant.use_pallas_kernels(matmul_int8_pallas, matmul_int4_pallas)
+        # int4 stays on the XLA path for now: Mosaic rejects every
+        # group-scale expansion strategy (broadcast+reshape, repeat,
+        # split-dim reshape) at 7B group counts; the kernel passes
+        # interpret-mode parity and serves small shapes only.
+        quant.use_pallas_kernels(matmul_int8_pallas, None)

@@ -68,25 +68,40 @@ def matmul_int8_pallas(
 
 
 def _int4_kernel(x_ref, w_ref, s_ref, o_ref, *, group_size: int):
-    # x [BP, I]; w [O_T, I//2] uint8 split-half; s [O_T, G] f32; o [BP, O_T]
-    x = x_ref[...]
+    """x [BP, I]; w [O_T, I//2] uint8 split-half; s [O_T, G] f32.
+
+    The two nibble spans are dequantized and contracted separately with
+    STATIC half-slices (a concatenated [O_T, I] dequant buffer doubles the
+    VMEM footprint; static slices at I/2 are lane-aligned for all real
+    model widths, which are multiples of 256)."""
     p = w_ref[...].astype(jnp.int32)  # Mosaic has no i8 vector arithmetic
-    lo = (p & 0xF) - 8
-    hi = (p >> 4) - 8
-    # dequantize in the activation dtype (int4 values are bf16-exact;
-    # an f32 intermediate would double the VMEM footprint of the tile)
-    w = jnp.concatenate([lo, hi], axis=-1).astype(x.dtype)  # [O_T, I]
     O_T, G = s_ref.shape
-    I = w.shape[-1]
-    # expand group scales to per-column via broadcast+reshape (constant
-    # shapes; avoids a repeat op the Mosaic lowering may not like)
-    scales = jnp.broadcast_to(
-        s_ref[...][:, :, None], (O_T, G, group_size)
-    ).reshape(O_T, I)
-    wf = w * scales.astype(x.dtype)
-    o_ref[...] = jax.lax.dot_general(
-        x, wf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    half = p.shape[1]
+    dt = x_ref.dtype
+    Gh = G // 2
+
+    def span(vals, x_part, s_part):
+        w = vals.astype(dt)  # [O_T, half], bf16-exact for int4
+        # group-scale by splitting the weight's minor dim (a reshape of
+        # real data; Mosaic rejects broadcast+reshape at some group counts)
+        wf = (
+            w.reshape(O_T, Gh, group_size) * s_part[:, :, None].astype(dt)
+        ).reshape(O_T, half)
+        return jax.lax.dot_general(
+            x_part, wf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    s_all = s_ref[...]
+    x_all = x_ref[...]
+    acc = span((p & 0xF) - 8, x_all[:, :half], s_all[:, :Gh])
+    acc += span((p >> 4) - 8, x_all[:, half:], s_all[:, Gh:])
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+# activations wider than this take the XLA fallback (VMEM can't hold the
+# resident x plus double-buffered weight tiles)
+_INT4_MAX_BP = 128
 
 
 @functools.partial(jax.jit, static_argnames=("block_o",))
@@ -96,17 +111,26 @@ def matmul_int4_pallas(
     s: jax.Array,  # [O, I//G] f32
     block_o: int = 512,
 ) -> jax.Array:
+    # NOTE: K-tiling this kernel is blocked on a Mosaic constraint — scale
+    # tiles ([O_T, groups_per_tile]) can't satisfy the (8, 128) block-shape
+    # rule for 7B-model group counts. This whole-row kernel dequantizes
+    # [block_o, I/2] per span per grid step; block_o adapts to VMEM.
     B, I = x.shape
     O = packed.shape[0]
     G = s.shape[1]
     group_size = I // G
     BP = max(8, -(-B // 8) * 8)
+    if BP > _INT4_MAX_BP or G % 2 or (I // 2) % 128:
+        from vllm_omni_draft_tpu.ops import quant as q
+
+        w = q.dequantize({"w": packed, "s": s}, dtype=x.dtype)
+        return x @ w.T
     if BP != B:
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
-    # VMEM budget: packed (I/2 B) + dequant tile (2I B) + pipeline 2x
-    # must stay well under the ~16MB scoped limit alongside x and out
-    budget_rows = max(64, (6 * 1024 * 1024) // (5 * I // 2))
-    block_o = min(block_o, O, 1 << (budget_rows.bit_length() - 1))
+    # budget/row: packed I/2 + one dequant span I (bf16), double-buffered
+    budget_rows = max(128, (8 * 1024 * 1024) // (3 * I))
+    cap = 1 << (budget_rows.bit_length() - 1)
+    block_o = max(128, min(block_o, O, cap))
     while O % block_o:
         block_o //= 2
 

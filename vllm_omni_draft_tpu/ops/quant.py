@@ -102,7 +102,7 @@ _PALLAS_INT8 = None
 _PALLAS_INT4 = None
 
 
-def use_pallas_kernels(int8_fn, int4_fn) -> None:
+def use_pallas_kernels(int8_fn, int4_fn=None) -> None:
     global _PALLAS_INT8, _PALLAS_INT4
     _PALLAS_INT8, _PALLAS_INT4 = int8_fn, int4_fn
 
