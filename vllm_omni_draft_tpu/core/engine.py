@@ -109,6 +109,19 @@ class EngineCore:
         kv.pool.clear_cache()
         kv._req_hashes.clear()
 
+    def start_profile(self, log_dir: str = "/tmp/vot_profile") -> str:
+        """JAX profiler trace (utility op; reference names 'profiling' as
+        an EngineCore duty, engine_core.md:18). View with xprof/tensorboard."""
+        import jax.profiler
+
+        jax.profiler.start_trace(log_dir)
+        return log_dir
+
+    def stop_profile(self) -> None:
+        import jax.profiler
+
+        jax.profiler.stop_trace()
+
     def get_stats(self) -> dict:
         return {
             "scheduler": self.scheduler.stats,

@@ -11,13 +11,21 @@ TPU.
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 
 def install(enable_attention: bool = True, enable_quant: bool = True) -> None:
-    """Register Pallas kernels as the hot-path implementations."""
+    """Register Pallas kernels as the hot-path implementations.
+    Env overrides (A/B benchmarking): VOT_DISABLE_PALLAS_ATTN,
+    VOT_DISABLE_PALLAS_QUANT."""
     if jax.default_backend() != "tpu":
         return
+    if os.environ.get("VOT_DISABLE_PALLAS_ATTN") == "1":
+        enable_attention = False
+    if os.environ.get("VOT_DISABLE_PALLAS_QUANT") == "1":
+        enable_quant = False
     if enable_attention:
         from vllm_omni_draft_tpu.ops import attention as att
         from vllm_omni_draft_tpu.ops.pallas.paged_attention import (
