@@ -70,8 +70,17 @@ class DPEngineGroup:
 
     def abort_request(self, request_id: str) -> None:
         rank = self._req_rank.get(request_id)
-        if rank is not None:
-            self.clients[rank].abort_requests([request_id])
+        if rank is None:
+            return
+        self.clients[rank].abort_requests([request_id])
+        # aborted requests emit no finished output: settle wave accounting
+        # here or the wave never completes
+        with self._lock:
+            if self._req_rank.pop(request_id, None) is not None:
+                self._req_wave.pop(request_id, None)
+                self.wave.in_flight[rank] = max(0, self.wave.in_flight[rank] - 1)
+                if self.wave.total_in_flight() == 0:
+                    self.wave.waves_completed += 1
 
     def poll(self, timeout: float = 0.05):
         """Drain one output batch from each replica. Returns
