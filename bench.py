@@ -39,7 +39,7 @@ def main():
     from vllm_omni_draft_tpu.core.request import Request, SamplingParams
 
     layers = int(os.environ.get("VOT_BENCH_LAYERS", "28"))
-    B = int(os.environ.get("VOT_BENCH_BATCH", "8"))
+    B = int(os.environ.get("VOT_BENCH_BATCH", "32"))
     steps = int(os.environ.get("VOT_BENCH_STEPS", "20"))
     quant = os.environ.get("VOT_BENCH_QUANT", "int8")
     quant = None if quant in ("none", "") else quant

@@ -116,3 +116,41 @@ def test_input_validation_rejects(bad):
     inp = ImageGenInputs(**bad)
     with pytest.raises(ValueError):
         validate_image_inputs(inp)
+
+
+def test_image_gen_processor_end_to_end():
+    """Text -> LM hidden-state embeddings -> DiT denoise; image -> VAE
+    latents -> TI2I (the reference's processor contract)."""
+    import jax
+    from vllm_omni_draft_tpu.config import ModelConfig
+    from vllm_omni_draft_tpu.models import qwen2
+    from vllm_omni_draft_tpu.models.image_processor import ImageGenProcessor
+    from vllm_omni_draft_tpu.core.tokenizer import ByteTokenizer
+
+    lm_cfg = ModelConfig.tiny(vocab_size=258, hidden_size=32,
+                              intermediate_size=64, num_heads=4,
+                              num_kv_heads=2, head_dim=8, max_model_len=128)
+    lm_params = qwen2.init_params(lm_cfg)
+    vae = VAE(VAEConfig(latent_channels=4, base_channels=16))
+    proc = ImageGenProcessor(
+        lm_cfg, lm_params, ByteTokenizer(), vae=vae,
+        prompt_template="<sys>{}", template_start_idx=5,
+    )
+    inp = proc.build_inputs_text_only("a red cube", height=64, width=64,
+                                      num_inference_steps=2)
+    assert inp.prompt_embeds.shape == (1, len("a red cube"), 32)
+
+    # DiT consumes the conditioning (text_dim must match LM hidden)
+    eng = DiffusionStageEngine(dit_config=DiTConfig(
+        latent_channels=4, patch_size=2, hidden_size=64, depth=1,
+        num_heads=4, text_dim=32, dtype="float32"))
+    out = eng.generate([inp])[0]
+    assert out.pixels.shape == (1, 3, 64, 64)
+
+    # TI2I path
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 64, 64))
+    inp2 = proc.build_inputs_with_image("edit it", img, height=64, width=64,
+                                        num_inference_steps=2)
+    assert inp2.image_latents.shape == (1, 4, 8, 8)
+    out2 = eng.generate([inp2])[0]
+    assert out2.pixels.shape == (1, 3, 64, 64)

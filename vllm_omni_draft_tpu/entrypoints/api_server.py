@@ -29,13 +29,16 @@ def _sampling_from_body(body: dict) -> SamplingParams:
     stop = body.get("stop") or ()
     if isinstance(stop, str):
         stop = (stop,)
+    lp = body.get("logprobs")
     return SamplingParams(
+        n=int(body.get("n", 1)),
         max_tokens=int(body.get("max_tokens", 128)),
         temperature=float(body.get("temperature", 1.0)),
         top_p=float(body.get("top_p", 1.0)),
         top_k=int(body.get("top_k", 0)),
         stop=tuple(stop),
         seed=body.get("seed"),
+        logprobs=int(lp) if lp else None,
         output_kind=OutputKind.DELTA if body.get("stream") else OutputKind.CUMULATIVE,
     )
 
@@ -164,6 +167,14 @@ class ApiServer:
         text = final.outputs[0].text if final and final.outputs else ""
         reason = final.outputs[0].finish_reason if final and final.outputs else None
         n_out = len(final.outputs[0].token_ids) if final and final.outputs else 0
+        lp = final.outputs[0].logprobs if final and final.outputs else None
+        lp_field = (
+            {"token_logprobs": [
+                {str(k): v for k, v in step.items()} for step in lp
+            ]}
+            if lp
+            else {}
+        )
         resp = {
             "id": rid,
             "object": "chat.completion" if chat else "text_completion",
@@ -174,6 +185,7 @@ class ApiServer:
                 **({"message": {"role": "assistant", "content": text}} if chat
                    else {"text": text}),
                 "finish_reason": reason,
+                **({"logprobs": lp_field} if lp_field else {}),
             }],
             "usage": {
                 "prompt_tokens": len(final.prompt_token_ids) if final else 0,
