@@ -46,6 +46,8 @@ def main():
     spec_mode = os.environ.get("VOT_BENCH_SPEC", "0")  # 0 | 1 | oracle
     use_spec = spec_mode in ("1", "oracle")
     prompt_len = int(os.environ.get("VOT_BENCH_PROMPT", "128"))
+    kv_dtype = os.environ.get("VOT_BENCH_KV_DTYPE", "bfloat16")
+    sampled = os.environ.get("VOT_BENCH_SAMPLED", "0") == "1"
     max_model_len = 512
 
     target = ModelConfig(
@@ -59,6 +61,7 @@ def main():
         max_model_len=max_model_len,
         dtype="bfloat16",
         quantization=quant,
+        kv_cache_dtype=kv_dtype,
     )
     spec = None
     if spec_mode == "oracle":
@@ -151,7 +154,13 @@ def main():
             f"target layers >= {Ld} zeroed")
 
     rng = np.random.default_rng(0)
-    sp = SamplingParams(max_tokens=4096, temperature=0.0, ignore_eos=True)
+    sp = SamplingParams(
+        max_tokens=4096,
+        temperature=0.7 if sampled else 0.0,
+        top_p=0.95 if sampled else 1.0,
+        top_k=64 if sampled else 0,
+        ignore_eos=True,
+    )
     for i in range(B):
         engine.add_request(
             Request(
@@ -191,6 +200,8 @@ def main():
         json.dumps(
             {
                 "metric": f"decode_tokens_per_sec_per_chip_qwen7b_{quant or 'bf16'}"
+                + ("_fp8kv" if kv_dtype == "fp8" else "")
+                + ("_sampled" if sampled else "")
                 + (f"_spec_{spec_mode}" if use_spec else ""),
                 "value": round(tps, 1),
                 "unit": "tokens/s/chip",

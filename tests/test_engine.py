@@ -248,3 +248,22 @@ def test_n_greater_than_one_sampling(hf_checkpoint):
     outg = llm.generate([prompt], [spg])[0]
     ref = _hf_greedy(hf, prompt, 6)
     assert [c.token_ids for c in outg.outputs] == [ref, ref]
+
+
+def test_fp8_kv_cache_engine(hf_checkpoint):
+    """Ladder config 3 shape on CPU: fp8 KV through the whole engine —
+    runs and stays close to the bf16-KV output (quantization noise only)."""
+    path, hf = hf_checkpoint
+    cfg = _config(path)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, kv_cache_dtype="fp8"))
+    llm = LLM(cfg)
+    prompt = [7, 8, 9, 10, 11]
+    out = llm.generate([prompt], [GREEDY(8)])[0]
+    assert len(out.outputs[0].token_ids) == 8
+    # most greedy tokens should survive fp8 KV noise on this tiny model
+    ref = _hf_greedy(hf, prompt, 8)
+    agree = sum(a == b for a, b in zip(out.outputs[0].token_ids, ref))
+    assert agree >= 4, (out.outputs[0].token_ids, ref)

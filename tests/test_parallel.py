@@ -72,8 +72,12 @@ def test_tp_sharded_forward_matches_unsharded(mesh8, quant):
     np.testing.assert_allclose(
         np.asarray(logits_s), np.asarray(logits_ref), rtol=2e-4, atol=2e-4
     )
+    # KV is stored in bf16: TP reduction-order differences show up as
+    # single-ULP deltas (~5e-4 at these magnitudes)
     np.testing.assert_allclose(
-        np.asarray(kv_s2["k"]), np.asarray(kv_ref["k"]), rtol=1e-4, atol=1e-4
+        np.asarray(kv_s2["k"], dtype=np.float32),
+        np.asarray(kv_ref["k"], dtype=np.float32),
+        rtol=5e-3, atol=1e-3,
     )
 
 
@@ -122,3 +126,44 @@ def test_dp_sharded_batch_decode(mesh8):
     hidden, _ = jax.jit(fwd)(params_s, tokens, meta.positions, kv_s, meta)
     assert hidden.shape == (B, 1, 64)
     assert not np.any(np.isnan(np.asarray(hidden)))
+
+
+def test_72b_shaped_tp8_compiles_and_runs(mesh8):
+    """Ladder config 5 shape evidence: Qwen2.5-72B attention geometry
+    (64 q heads / 8 kv heads, hidden 8192) with 2 layers, int8, TP=8 on
+    the fake mesh — the sharding that would span >=2 hosts compiles and
+    executes."""
+    from vllm_omni_draft_tpu.config import ParallelConfig
+    from vllm_omni_draft_tpu.models.weights import quantize_params
+
+    cfg = ModelConfig(
+        vocab_size=1024,  # shrunk vocab: CPU-mesh memory, geometry intact
+        hidden_size=8192 // 16,  # scaled width, divisibility preserved
+        intermediate_size=29568 // 16,
+        num_layers=2,
+        num_heads=64,
+        num_kv_heads=8,
+        head_dim=(8192 // 16) // 64,
+        max_model_len=64,
+        dtype="float32",
+    )
+    params = quantize_params(qwen2.init_params(cfg), "int8")
+    fwd = qwen2.make_forward(cfg)
+    mesh = make_mesh(ParallelConfig(tensor_parallel_size=8, data_parallel_size=1))
+    params_s = shd.shard_params(params, mesh)
+    kv_s = shd.shard_kv_cache(qwen2.init_kv_cache(cfg, 16, 8), mesh)
+
+    B, T = 2, 8
+    table = np.zeros((B, 8), np.int32)
+    table[0, 0], table[1, 0] = 1, 2
+    slots = table[:, :1] * 8 + np.arange(T)[None, :].astype(np.int32)
+    meta = AttentionMetadata(
+        block_tables=jnp.asarray(table),
+        kv_lens=jnp.full((B,), T, jnp.int32),
+        positions=jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T)),
+        slot_mapping=jnp.asarray(slots),
+    )
+    tokens = jnp.ones((B, T), jnp.int32)
+    hidden, _ = jax.jit(fwd)(params_s, tokens, meta.positions, kv_s, meta)
+    logits = qwen2.compute_logits(cfg, params_s, hidden.reshape(B * T, -1))
+    assert not np.any(np.isnan(np.asarray(logits)))
