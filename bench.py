@@ -98,7 +98,10 @@ def main():
             max_model_len=max_model_len,
             dtype="bfloat16",
         )
-        spec = SpeculativeConfig(draft_model=draft, num_speculative_tokens=4)
+        dv = int(os.environ.get("VOT_BENCH_DRAFT_VOCAB", "0")) or None
+        spec = SpeculativeConfig(
+            draft_model=draft, num_speculative_tokens=4, draft_vocab_size=dv
+        )
 
     cfg = EngineConfig(
         model=target,

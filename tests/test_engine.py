@@ -152,6 +152,25 @@ def test_sampled_generation_reproducible_across_batching(hf_checkpoint):
     assert all(0 <= t < TINY_HF["vocab_size"] for t in out.outputs[0].token_ids)
 
 
+def test_batch_queue_pipelined_matches_hf(hf_checkpoint):
+    """step_with_batch_queue (PP batch queue / lag-1 overlap,
+    `engine_core.md:97, 124-126`): two in-flight slot-disjoint batches must
+    produce exactly the sequential greedy output."""
+    path, hf = hf_checkpoint
+    cfg = _config(path, max_num_seqs=4)
+    cfg.scheduler.max_concurrent_batches = 2
+    # one request per batch so the queue actually pipelines
+    cfg.scheduler.max_num_batched_tokens = 16
+    llm = LLM(cfg)
+    assert llm.engine.step_fn == llm.engine.step_with_batch_queue
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, 100, size=n).tolist() for n in (5, 9, 13)]
+    outs = llm.generate(prompts, [GREEDY(10)] * 3)
+    for p, o in zip(prompts, outs):
+        assert o.outputs[0].token_ids == _hf_greedy(hf, p, 10), p
+    assert not llm.engine.batch_queue
+
+
 # ---------------------------------------------------------------------------
 # speculative decoding
 # ---------------------------------------------------------------------------
@@ -193,6 +212,41 @@ def test_spec_decode_greedy_is_exactly_lossless(hf_checkpoint, tmp_path_factory,
     outs = llm.generate(prompts, [GREEDY(12)] * 2)
     for p, o in zip(prompts, outs):
         assert o.outputs[0].token_ids == _hf_greedy(hf, p, 12), p
+    stats = llm.get_stats()["spec_decode"]
+    assert stats.num_draft_tokens > 0
+
+
+@pytest.mark.parametrize("temperature", [0.0, 0.8])
+def test_spec_decode_pruned_draft_vocab_is_lossless(
+    hf_checkpoint, tmp_path_factory, temperature
+):
+    """A draft restricted to a vocab prefix (draft_vocab_size) is still a
+    valid proposal distribution: greedy output must STILL equal target-only
+    greedy exactly; sampled output must only contain valid ids and the
+    emitted proposals must come from the prefix or be target corrections."""
+    path, hf = hf_checkpoint
+    draft_path = _draft_checkpoint(tmp_path_factory, seed=99)
+    spec = SpeculativeConfig(
+        draft_model=ModelConfig.from_hf_config(draft_path, dtype="float32",
+                                               max_model_len=128),
+        num_speculative_tokens=3,
+        draft_vocab_size=32,  # vocab is 128: prune to a quarter
+    )
+    llm = LLM(_config(path, speculative=spec))
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(1, 100, size=n).tolist() for n in (7, 19)]
+    if temperature == 0.0:
+        outs = llm.generate(prompts, [GREEDY(12)] * 2)
+        for p, o in zip(prompts, outs):
+            assert o.outputs[0].token_ids == _hf_greedy(hf, p, 12), p
+    else:
+        sp = SamplingParams(max_tokens=12, temperature=temperature,
+                            top_p=0.95, ignore_eos=True)
+        outs = llm.generate(prompts, [sp] * 2)
+        for o in outs:
+            toks = o.outputs[0].token_ids
+            assert len(toks) == 12
+            assert all(0 <= t < TINY_HF["vocab_size"] for t in toks)
     stats = llm.get_stats()["spec_decode"]
     assert stats.num_draft_tokens > 0
 

@@ -128,7 +128,7 @@ def test_quant_matmul_kernels_interpret(shape, monkeypatch):
     np.testing.assert_allclose(np.asarray(got8), np.asarray(ref8),
                                rtol=2e-3, atol=2e-3)
 
-    q4 = q.quantize_int4(w, group_size=32)
+    q4 = q.quantize_int4(w, group_size=128)
     got4 = qm.matmul_int4_pallas(x, q4["w"], q4["s"], block_o=128)
     ref4 = x @ q.dequantize(q4, jnp.float32).T
     np.testing.assert_allclose(np.asarray(got4), np.asarray(ref4),

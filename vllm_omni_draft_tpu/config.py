@@ -159,6 +159,11 @@ class SchedulerConfig:
     decode_steps: int = 1
     # token-count buckets for static shapes (pad prefill chunks up)
     prefill_buckets: tuple[int, ...] = (64, 256, 1024)
+    # >1 enables step_with_batch_queue (reference: PP batch queue,
+    # `engine_core.md:97, 124-126`): up to this many disjoint batches in
+    # flight — the host schedules/dispatches batch N+1 while batch N's
+    # device step runs (lag-1 readback; also the PP-stage hook)
+    max_concurrent_batches: int = 1
 
     def __post_init__(self):
         self.prefill_buckets = tuple(sorted(set(self.prefill_buckets)))
@@ -197,10 +202,19 @@ class SpeculativeConfig:
 
     draft_model: ModelConfig | None = None
     num_speculative_tokens: int = 4  # k
+    # Propose only from the first `draft_vocab_size` token ids (BPE ids are
+    # roughly frequency-ordered, so a prefix covers most proposal mass).
+    # Cuts the draft's dominant cost — the [V, D] lm_head read — ~V/Vp x.
+    # Rejection sampling stays exactly lossless for ANY proposal
+    # distribution, so this only trades acceptance rate for draft speed.
+    draft_vocab_size: int | None = None
 
     def __post_init__(self):
         if self.num_speculative_tokens < 1:
             raise ValueError("num_speculative_tokens must be >= 1")
+        if self.draft_vocab_size is not None and self.draft_model is not None:
+            if not 0 < self.draft_vocab_size <= self.draft_model.vocab_size:
+                raise ValueError("draft_vocab_size out of range")
 
 
 @dataclass

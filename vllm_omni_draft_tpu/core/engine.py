@@ -44,6 +44,19 @@ class EngineCore:
         self.runner.structured = self.structured
         self.executor_fail_callback = executor_fail_callback
         self.iteration_stats = IterationStats()
+        # batch queue (reference: `engine_core.md:97, 124-126` — PP batch
+        # pipelining; here also the lag-1 host/device overlap)
+        from collections import deque
+
+        self.max_concurrent_batches = max(
+            1, config.scheduler.max_concurrent_batches
+        )
+        self.batch_queue: deque = deque()
+        self.step_fn = (
+            self.step_with_batch_queue
+            if self.max_concurrent_batches > 1
+            else self.step
+        )
 
     def add_request(self, request: Request) -> None:
         if request.sampling_params.grammar is not None:
@@ -77,6 +90,48 @@ class EngineCore:
             if self.executor_fail_callback is not None:
                 self.executor_fail_callback(e)
             raise
+        return self._apply_output(sched, runner_out, t0)
+
+    def step_with_batch_queue(self) -> list[Request]:
+        """Pipelined step variant (reference: `step_with_batch_queue`,
+        `engine_core.md:97, 124-126`): keeps up to max_concurrent_batches
+        slot-disjoint batches dispatched. While batch N executes on device,
+        the host schedules and dispatches batch N+1 — the requests of
+        in-flight batches are excluded from scheduling and preemption."""
+        t0 = time.perf_counter()
+        scheduled = False
+        if len(self.batch_queue) < self.max_concurrent_batches:
+            sched = self.scheduler.schedule()
+            if not sched.is_empty:
+                for rid in sched.preempted_ids:
+                    req = self.scheduler.requests.get(rid)
+                    if req is not None:
+                        self.runner.release_slot(req)
+                ids = {r.request_id for r in sched.decodes} | {
+                    p.request.request_id for p in sched.prefills
+                }
+                self.scheduler.in_flight |= ids
+                try:
+                    pending = self.runner.dispatch(sched)
+                except Exception as e:
+                    self.scheduler.in_flight -= ids
+                    if self.executor_fail_callback is not None:
+                        self.executor_fail_callback(e)
+                    raise
+                self.batch_queue.append((sched, pending, ids))
+                scheduled = True
+        if self.batch_queue and (
+            not scheduled or len(self.batch_queue) >= self.max_concurrent_batches
+        ):
+            sched, pending, ids = self.batch_queue.popleft()
+            try:
+                runner_out = pending.resolve()
+            finally:
+                self.scheduler.in_flight -= ids
+            return self._apply_output(sched, runner_out, t0)
+        return []
+
+    def _apply_output(self, sched, runner_out, t0) -> list[Request]:
         updated = self.scheduler.update_from_output(sched, runner_out)
         for req in updated:
             # advance grammar FSMs; terminal grammar ends the request

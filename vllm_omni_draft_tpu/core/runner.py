@@ -67,6 +67,20 @@ def _build_params(cfg: ModelConfig):
     return mod, params
 
 
+class PendingStep:
+    """Handle for a dispatched-but-unresolved device step (batch-queue
+    mode, `engine_core.md:97, 124-126`): holds the closure that blocks on
+    the device arrays and applies host-side slot bookkeeping."""
+
+    __slots__ = ("_resolve",)
+
+    def __init__(self, resolve_fn):
+        self._resolve = resolve_fn
+
+    def resolve(self) -> RunnerOutput:
+        return self._resolve()
+
+
 _DEFAULT_NUM_BLOCKS = 512  # CPU/test fallback
 
 
@@ -155,11 +169,28 @@ class ModelRunner:
         if self.mesh is not None:
             self.target_params = shd.shard_params(self.target_params, self.mesh)
         self.draft_cfg = config.speculative.draft_model if config.speculative else None
+        self.draft_vocab = (
+            config.speculative.draft_vocab_size if config.speculative else None
+        )
         if self.draft_cfg is not None:
             self.draft_mod, self.draft_params = _build_params(self.draft_cfg)
             self.draft_fwd = self.draft_mod.make_forward(self.draft_cfg)
             if self.mesh is not None:
                 self.draft_params = shd.replicate(self.draft_params, self.mesh)
+            if self.draft_vocab and self.draft_vocab < self.draft_cfg.vocab_size:
+                # pruned proposal vocab: replace the draft head with its
+                # first-Vp-rows slice (identity id mapping); the draft then
+                # only ever reads Vp rows of the [V, D] head — its dominant
+                # weight traffic. Lossless for any proposal distribution.
+                head = self.draft_params.get("lm_head") or {
+                    "w": self.draft_params["embed"]
+                }
+                self.draft_params = {
+                    **self.draft_params,
+                    "lm_head": jax.tree.map(
+                        lambda a: a[: self.draft_vocab], head
+                    ),
+                }
         # profile free HBM *after* weights are resident
         if num_blocks is not None:
             self.num_blocks = num_blocks
@@ -447,12 +478,20 @@ class ModelRunner:
             toks0 = jnp.stack([prev, last], axis=1)  # [B, 2]
             hidden0, kv_d = self.draft_fwd(params_d, toks0, pos0, kv_d, meta0)
             logits0 = self.draft_mod.compute_logits(dcfg, params_d, hidden0[:, 1])
+
+            def pad_v(qp):
+                # pruned-vocab proposals: zero probability outside the
+                # prefix keeps the rejection residual exactly lossless
+                pad = cfg.vocab_size - qp.shape[-1]
+                return qp if pad == 0 else jnp.pad(qp, ((0, 0), (0, pad)))
+
             if greedy:
                 d1 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
                 q0 = None
             else:
                 q0 = compute_probs(logits0, temps, top_ks, top_ps)
                 d1 = sample_from_probs(q0, jax.random.fold_in(key_i, 0))
+                q0 = pad_v(q0)
 
             def draft_body(carry, i):
                 kv_d, cur = carry
@@ -473,7 +512,7 @@ class ModelRunner:
                     return (kv_d, tok), (tok, jnp.zeros((B, 1), jnp.float32))
                 q = compute_probs(logits, temps, top_ks, top_ps)
                 tok = sample_from_probs(q, jax.random.fold_in(key_i, i))
-                return (kv_d, tok), (tok, q)
+                return (kv_d, tok), (tok, pad_v(q))
 
             (kv_d, _), (draft_rest, q_rest) = jax.lax.scan(
                 draft_body, (kv_d, d1), jnp.arange(1, K, dtype=jnp.int32)
@@ -610,6 +649,16 @@ class ModelRunner:
     # ------------------------------------------------------------------
 
     def execute(self, sched: SchedulerOutput) -> RunnerOutput:
+        return self.dispatch(sched).resolve()
+
+    def dispatch(self, sched: SchedulerOutput) -> "PendingStep":
+        """Enqueue this step's device work and return a PendingStep whose
+        .resolve() blocks on the results and finishes host bookkeeping.
+        JAX dispatch is async, so between dispatch and resolve the host is
+        free to schedule/dispatch ANOTHER (slot-disjoint) batch — the
+        batch-queue overlap of `engine_core.md:97, 124-126` (PP hook /
+        lag-1 readback). Prefill sampling stays synchronous (its token
+        feeds the request's own decode state immediately)."""
         t0 = time.perf_counter()
         out = RunnerOutput(new_tokens={})
         self.step_count += 1
@@ -753,36 +802,48 @@ class ModelRunner:
                     self.target_params, self.kv_t, *base_args, *sample_args,
                     jnp.asarray(allowed_ids), jnp.asarray(allowed_cnt),
                 )
-                toks_np = np.asarray(toks)  # [B, 1]
-                for req in sched.decodes:
-                    emitted = toks_np[req.slot].tolist()
-                    out.new_tokens[req.request_id] = emitted
-                    self.last_tokens[req.slot] = emitted[-1]
-                    self.seq_lens[req.slot] += len(emitted)
+
+                def finish(toks=toks):
+                    toks_np = np.asarray(toks)  # [B, 1]
+                    for req in sched.decodes:
+                        if req.slot < 0:
+                            continue  # aborted while in flight
+                        emitted = toks_np[req.slot].tolist()
+                        out.new_tokens[req.request_id] = emitted
+                        self.last_tokens[req.slot] = emitted[-1]
+                        self.seq_lens[req.slot] += len(emitted)
+
             elif any_logprobs:
                 toks, lp_vals, lp_ids, lp_chosen, self.kv_t = (
                     self._decode_logprobs_fn(
                         self.target_params, self.kv_t, *base_args, *sample_args
                     )
                 )
-                toks_np = np.asarray(toks)
-                vals_np, ids_np = np.asarray(lp_vals), np.asarray(lp_ids)
-                chosen_np = np.asarray(lp_chosen)
-                for req in sched.decodes:
-                    emitted = toks_np[req.slot].tolist()
-                    out.new_tokens[req.request_id] = emitted
-                    k_lp = req.sampling_params.logprobs
-                    if k_lp is not None:
-                        top = {
-                            int(i): float(v)
-                            for i, v in zip(
-                                ids_np[req.slot][:k_lp], vals_np[req.slot][:k_lp]
-                            )
-                        }
-                        top[emitted[-1]] = float(chosen_np[req.slot])
-                        out.logprobs.setdefault(req.request_id, []).append(top)
-                    self.last_tokens[req.slot] = emitted[-1]
-                    self.seq_lens[req.slot] += len(emitted)
+
+                def finish(toks=toks, lp_vals=lp_vals, lp_ids=lp_ids,
+                           lp_chosen=lp_chosen):
+                    toks_np = np.asarray(toks)
+                    vals_np, ids_np = np.asarray(lp_vals), np.asarray(lp_ids)
+                    chosen_np = np.asarray(lp_chosen)
+                    for req in sched.decodes:
+                        if req.slot < 0:
+                            continue
+                        emitted = toks_np[req.slot].tolist()
+                        out.new_tokens[req.request_id] = emitted
+                        k_lp = req.sampling_params.logprobs
+                        if k_lp is not None:
+                            top = {
+                                int(i): float(v)
+                                for i, v in zip(
+                                    ids_np[req.slot][:k_lp],
+                                    vals_np[req.slot][:k_lp],
+                                )
+                            }
+                            top[emitted[-1]] = float(chosen_np[req.slot])
+                            out.logprobs.setdefault(req.request_id, []).append(top)
+                        self.last_tokens[req.slot] = emitted[-1]
+                        self.seq_lens[req.slot] += len(emitted)
+
             elif self.K > 0 and self.kv_d is not None:
                 if all_greedy:
                     toks, num_emitted, self.kv_t, self.kv_d = self._spec_greedy_fn(
@@ -795,20 +856,25 @@ class ModelRunner:
                         self.kv_d, jnp.asarray(self.prev_tokens), *base_args,
                         *sample_args
                     )
-                toks_np = np.asarray(toks)  # [B, M, K+1]
-                n_np = np.asarray(num_emitted)  # [B, M]
-                for req in sched.decodes:
-                    emitted: list[int] = []
-                    acc = 0
-                    for m in range(self.M):
-                        n = int(n_np[req.slot, m])
-                        emitted.extend(toks_np[req.slot, m, :n].tolist())
-                        acc += max(n - 1, 0)
-                    out.new_tokens[req.request_id] = emitted
-                    out.num_accepted[req.request_id] = acc
-                    out.num_draft[req.request_id] = self.K * self.M
-                    self.last_tokens[req.slot] = emitted[-1]
-                    self.seq_lens[req.slot] += len(emitted)
+
+                def finish(toks=toks, num_emitted=num_emitted):
+                    toks_np = np.asarray(toks)  # [B, M, K+1]
+                    n_np = np.asarray(num_emitted)  # [B, M]
+                    for req in sched.decodes:
+                        if req.slot < 0:
+                            continue
+                        emitted: list[int] = []
+                        acc = 0
+                        for m in range(self.M):
+                            n = int(n_np[req.slot, m])
+                            emitted.extend(toks_np[req.slot, m, :n].tolist())
+                            acc += max(n - 1, 0)
+                        out.new_tokens[req.request_id] = emitted
+                        out.num_accepted[req.request_id] = acc
+                        out.num_draft[req.request_id] = self.K * self.M
+                        self.last_tokens[req.slot] = emitted[-1]
+                        self.seq_lens[req.slot] += len(emitted)
+
             else:
                 if all_greedy:
                     toks, self.kv_t = self._decode_greedy_fn(
@@ -818,12 +884,24 @@ class ModelRunner:
                     toks, self.kv_t = self._decode_fn(
                         self.target_params, self.kv_t, *base_args, *sample_args
                     )
-                toks_np = np.asarray(toks)  # [B, M]
-                for req in sched.decodes:
-                    emitted = toks_np[req.slot].tolist()
-                    out.new_tokens[req.request_id] = emitted
-                    self.last_tokens[req.slot] = emitted[-1]
-                    self.seq_lens[req.slot] += len(emitted)
 
-        self.last_step_time = time.perf_counter() - t0
-        return out
+                def finish(toks=toks):
+                    toks_np = np.asarray(toks)  # [B, M]
+                    for req in sched.decodes:
+                        if req.slot < 0:
+                            continue
+                        emitted = toks_np[req.slot].tolist()
+                        out.new_tokens[req.request_id] = emitted
+                        self.last_tokens[req.slot] = emitted[-1]
+                        self.seq_lens[req.slot] += len(emitted)
+
+        else:
+            finish = None
+
+        def resolve():
+            if finish is not None:
+                finish()
+            self.last_step_time = time.perf_counter() - t0
+            return out
+
+        return PendingStep(resolve)

@@ -83,6 +83,10 @@ class Scheduler:
         self.running: list[Request] = []
         self.requests: dict[str, Request] = {}
         self.finished_ids: set[str] = set()
+        # requests whose device step is dispatched but not yet resolved
+        # (batch-queue mode): excluded from scheduling AND from preemption
+        # victims — their step is still writing KV to their blocks
+        self.in_flight: set[str] = set()
         self.stats = SchedulerStats(kv_blocks_total=num_blocks)
         self.spec_stats = SpecDecodeStats()
 
@@ -136,6 +140,8 @@ class Scheduler:
         for req in list(self.running):
             if req.status != RequestStatus.RUNNING:
                 continue  # preempted by an earlier allocation this step
+            if req.request_id in self.in_flight:
+                continue  # previous batch still executing on device
             target = self._prefill_target(req)
             remaining_prompt = target - req.num_computed_tokens
             if remaining_prompt > 0:
@@ -261,7 +267,7 @@ class Scheduler:
                 return new_blocks
             victim = None
             for cand in reversed(self.running):
-                if cand is not req:
+                if cand is not req and cand.request_id not in self.in_flight:
                     victim = cand
                     break
             if victim is None:

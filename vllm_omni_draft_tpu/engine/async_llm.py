@@ -82,10 +82,12 @@ class AsyncLLM:
         `engine_core.md:154-156`), idling when no work is queued."""
         while not self._shutdown:
             with self._lock:
-                has_work = self.engine.has_unfinished()
+                has_work = (
+                    self.engine.has_unfinished() or bool(self.engine.batch_queue)
+                )
                 if has_work:
                     try:
-                        updated = self.engine.step()
+                        updated = self.engine.step_fn()
                         self.output_processor.process_outputs(updated)
                     except Exception as e:  # propagate to consumers
                         self._errored = e

@@ -115,8 +115,8 @@ class LLM:
                 children.append(self._add(ids, child_sp, mm))
             groups.append(children)
         finals: dict[str, RequestOutput] = {}
-        while self.engine.has_unfinished():
-            updated = self.engine.step()
+        while self.engine.has_unfinished() or self.engine.batch_queue:
+            updated = self.engine.step_fn()
             for out in self.output_processor.process_outputs(updated):
                 if out.finished:
                     finals[out.request_id] = out

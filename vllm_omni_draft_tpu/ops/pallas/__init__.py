@@ -36,11 +36,13 @@ def install(enable_attention: bool = True, enable_quant: bool = True) -> None:
     if enable_quant:
         from vllm_omni_draft_tpu.ops import quant
         from vllm_omni_draft_tpu.ops.pallas.quant_matmul import (
+            matmul_int4_pallas,
             matmul_int8_pallas,
         )
 
-        # int4 stays on the XLA path for now: Mosaic rejects every
-        # group-scale expansion strategy (broadcast+reshape, repeat,
-        # split-dim reshape) at 7B group counts; the kernel passes
-        # interpret-mode parity and serves small shapes only.
-        quant.use_pallas_kernels(matmul_int8_pallas, None)
+        int4 = (
+            None
+            if os.environ.get("VOT_DISABLE_PALLAS_INT4") == "1"
+            else matmul_int4_pallas
+        )
+        quant.use_pallas_kernels(matmul_int8_pallas, int4)

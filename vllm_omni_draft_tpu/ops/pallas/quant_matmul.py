@@ -43,7 +43,9 @@ def matmul_int8_pallas(
     BP = max(8, -(-B // 8) * 8)
     if BP != B:
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
-    block_o = min(block_o, O)
+    # double-buffered weight tiles must fit the scoped-VMEM budget
+    budget_rows = max(128, (12 * 1024 * 1024) // (2 * I))
+    block_o = min(block_o, O, 1 << (budget_rows.bit_length() - 1))
     while O % block_o:  # e.g. vocab 151936 = 2^7 * 1187
         block_o //= 2
 
@@ -67,35 +69,40 @@ def matmul_int8_pallas(
     return out[:B]
 
 
-def _int4_kernel(x_ref, w_ref, s_ref, o_ref, *, group_size: int):
-    """x [BP, I]; w [O_T, I//2] uint8 split-half; s [O_T, G] f32.
+def _int4_kernel(x_ref, w_ref, st_ref, o_ref, *, group_size: int):
+    """x [BP, I]; w [O_T, I//2] uint8 split-half; st [G, O_T] f32
+    (scales transposed so one group's scales are one lane-contiguous row).
 
-    The two nibble spans are dequantized and contracted separately with
-    STATIC half-slices (a concatenated [O_T, I] dequant buffer doubles the
-    VMEM footprint; static slices at I/2 are lane-aligned for all real
-    model widths, which are multiples of 256)."""
-    p = w_ref[...].astype(jnp.int32)  # Mosaic has no i8 vector arithmetic
-    O_T, G = s_ref.shape
-    half = p.shape[1]
+    No reshapes (Mosaic rejects every group-scale reshape/broadcast at 7B
+    group counts — PERF_NOTES.md): each group is a STATIC slice, contracted
+    on the MXU separately, and scaled post-dot on the [BP, O_T] partial —
+    O(BP*O_T) VPU work per group instead of O(O_T*group_size).
+
+    The int4 zero-point (stored unsigned, value = u - 8) folds into a
+    rank-1 correction instead of a per-element subtract:
+        y[b,o] = sum_g s[o,g] * (sum_i x[b,i]*u[o,i] - 8 * sum_i x[b,i])
+    so unpacking a nibble costs only mask/shift + cast."""
+    half = w_ref.shape[1]
+    C = half // group_size  # chunks of packed columns == groups per half
     dt = x_ref.dtype
-    Gh = G // 2
 
-    def span(vals, x_part, s_part):
-        w = vals.astype(dt)  # [O_T, half], bf16-exact for int4
-        # group-scale by splitting the weight's minor dim (a reshape of
-        # real data; Mosaic rejects broadcast+reshape at some group counts)
-        wf = (
-            w.reshape(O_T, Gh, group_size) * s_part[:, :, None].astype(dt)
-        ).reshape(O_T, half)
-        return jax.lax.dot_general(
-            x_part, wf, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    s_all = s_ref[...]
     x_all = x_ref[...]
-    acc = span((p & 0xF) - 8, x_all[:, :half], s_all[:, :Gh])
-    acc += span((p >> 4) - 8, x_all[:, half:], s_all[:, Gh:])
+    s_all = st_ref[...]  # [G, O_T]
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    for c in range(C):
+        sl = slice(c * group_size, (c + 1) * group_size)
+        p = w_ref[:, sl].astype(jnp.int32)  # no i8 vector arithmetic
+        for vals, xs, g in (
+            ((p & 0xF), x_all[:, sl], c),
+            ((p >> 4), x_all[:, half + c * group_size:
+                             half + (c + 1) * group_size], C + c),
+        ):
+            t = jax.lax.dot_general(
+                xs, vals.astype(dt), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BP, O_T]
+            xsum = jnp.sum(xs.astype(jnp.float32), axis=1, keepdims=True)
+            acc += (t - 8.0 * xsum) * s_all[g][None, :]
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
@@ -111,24 +118,27 @@ def matmul_int4_pallas(
     s: jax.Array,  # [O, I//G] f32
     block_o: int = 512,
 ) -> jax.Array:
-    # NOTE: K-tiling this kernel is blocked on a Mosaic constraint — scale
-    # tiles ([O_T, groups_per_tile]) can't satisfy the (8, 128) block-shape
-    # rule for 7B-model group counts. This whole-row kernel dequantizes
-    # [block_o, I/2] per span per grid step; block_o adapts to VMEM.
     B, I = x.shape
     O = packed.shape[0]
     G = s.shape[1]
     group_size = I // G
     BP = max(8, -(-B // 8) * 8)
-    if BP > _INT4_MAX_BP or G % 2 or (I // 2) % 128:
+    # the per-group static slices need lane-aligned group boundaries in the
+    # packed array and group-aligned halves
+    if (
+        BP > _INT4_MAX_BP
+        or G % 2
+        or group_size % 128
+        or (I // 2) % group_size
+    ):
         from vllm_omni_draft_tpu.ops import quant as q
 
         w = q.dequantize({"w": packed, "s": s}, dtype=x.dtype)
         return x @ w.T
     if BP != B:
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
-    # budget/row: packed I/2 + one dequant span I (bf16), double-buffered
-    budget_rows = max(128, (8 * 1024 * 1024) // (3 * I))
+    # budget/row: packed I/2 bytes double-buffered, plus resident x
+    budget_rows = max(128, (12 * 1024 * 1024) // I)
     cap = 1 << (budget_rows.bit_length() - 1)
     block_o = max(128, min(block_o, O, cap))
     while O % block_o:
@@ -141,7 +151,7 @@ def matmul_int4_pallas(
             pl.BlockSpec((BP, I), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_o, I // 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_o, G), lambda i: (i, 0),
+            pl.BlockSpec((G, block_o), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BP, block_o), lambda i: (0, i),
@@ -153,5 +163,5 @@ def matmul_int4_pallas(
             + BP * O * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(x, packed, s)
+    )(x, packed, s.T.astype(jnp.float32))
     return out[:B]
