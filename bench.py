@@ -48,7 +48,7 @@ def main():
     prompt_len = int(os.environ.get("VOT_BENCH_PROMPT", "128"))
     kv_dtype = os.environ.get("VOT_BENCH_KV_DTYPE", "bfloat16")
     sampled = os.environ.get("VOT_BENCH_SAMPLED", "0") == "1"
-    max_model_len = 512
+    max_model_len = int(os.environ.get("VOT_BENCH_MODEL_LEN", "1024"))
 
     target = ModelConfig(
         vocab_size=151_936,
@@ -173,14 +173,24 @@ def main():
             )
         )
 
-    # prefill + first decodes (compile happens here)
+    # prefill + first decodes (compile happens here); wait until EVERY
+    # request is past prefill so the measured steps are pure full-batch
+    # decode (prefill admission is token-budget-limited and trickles)
     t0 = time.perf_counter()
     warm = 0
-    while warm < 3:
-        updated = engine.step()
-        if updated and all(r.output_token_ids for r in updated):
+    while warm < 2:
+        engine.step()
+        reqs = engine.scheduler.requests.values()
+        if reqs and all(r.output_token_ids for r in reqs):
             warm += 1
     log(f"warmup (incl. compile) {time.perf_counter()-t0:.1f}s")
+
+    if os.environ.get("VOT_BENCH_PROFILE") == "1":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from benchmarks.prof_util import print_top
+
+        log("=== device-time breakdown of one engine step ===")
+        print_top(lambda: engine.step(), n=25, warmup=1)
 
     # steady-state decode
     gen0 = sum(len(r.output_token_ids) for r in engine.scheduler.requests.values())

@@ -38,6 +38,7 @@ from vllm_omni_draft_tpu.ops.attention import (
 from vllm_omni_draft_tpu.ops.layers import (
     apply_rope_cos_sin,
     linear,
+    linear_at_layer,
     rms_norm,
     rope_cos_sin,
 )
@@ -167,27 +168,6 @@ def make_forward(cfg: ModelConfig):
     eps = cfg.rms_norm_eps
     theta = cfg.rope_theta
 
-    def layer_fn(carry, lp):
-        # KV cache rides in the CARRY (in-place-aliasable by XLA's while
-        # loop); putting it in scan xs/ys would keep two full copies live.
-        x, l, kc, vc, cos, sin, meta = carry
-        B, T, D = x.shape
-
-        h = rms_norm(x, lp["ln1"], eps)
-        q = linear(h, lp["q"]).reshape(B, T, Hq, Dh)
-        k = linear(h, lp["k"]).reshape(B, T, Hkv, Dh)
-        v = linear(h, lp["v"]).reshape(B, T, Hkv, Dh)
-        q, k = apply_rope_cos_sin(q, k, cos, sin)
-        kc, vc = write_kv_layer(kc, vc, k, v, meta.slot_mapping, l)
-        o = attention_at_layer(q, kc, vc, l, meta, scale)
-        x = x + linear(o.reshape(B, T, Hq * Dh), lp["o"])
-
-        h = rms_norm(x, lp["ln2"], eps)
-        g = linear(h, lp["gate"])
-        u = linear(h, lp["up"])
-        x = x + linear(jax.nn.silu(g) * u, lp["down"])
-        return (x, l + 1, kc, vc, cos, sin, meta), None
-
     def forward(
         params: dict,
         token_ids: jax.Array,  # [B, T] int32
@@ -201,9 +181,36 @@ def make_forward(cfg: ModelConfig):
         else:
             x = input_embeds.astype(_dtype(cfg))
         cos, sin = rope_cos_sin(positions, Dh, theta)
-        carry = (x, jnp.int32(0), kv_cache["k"], kv_cache["v"], cos, sin, meta)
-        (x, _, new_k, new_v, _, _, _), _ = jax.lax.scan(
-            layer_fn, carry, params["layers"]
+        lw = params["layers"]  # STACKED [L, ...] leaves, closure-captured:
+        # big weights are indexed INSIDE the Pallas matmul kernels
+        # (linear_at_layer) — passing them as scan xs would make XLA
+        # materialize a per-layer HBM copy of every weight every step.
+
+        def layer_fn(carry, l):
+            # KV cache rides in the CARRY (in-place-aliasable by XLA's
+            # while loop); scan xs/ys would keep two full copies live.
+            x, kc, vc = carry
+            B, T, D = x.shape
+
+            h = rms_norm(x, jnp.take(lw["ln1"], l, axis=0), eps)
+            q = linear_at_layer(h, lw["q"], l).reshape(B, T, Hq, Dh)
+            k = linear_at_layer(h, lw["k"], l).reshape(B, T, Hkv, Dh)
+            v = linear_at_layer(h, lw["v"], l).reshape(B, T, Hkv, Dh)
+            q, k = apply_rope_cos_sin(q, k, cos, sin)
+            kc, vc = write_kv_layer(kc, vc, k, v, meta.slot_mapping, l)
+            o = attention_at_layer(q, kc, vc, l, meta, scale)
+            x = x + linear_at_layer(o.reshape(B, T, Hq * Dh), lw["o"], l)
+
+            h = rms_norm(x, jnp.take(lw["ln2"], l, axis=0), eps)
+            g = linear_at_layer(h, lw["gate"], l)
+            u = linear_at_layer(h, lw["up"], l)
+            x = x + linear_at_layer(jax.nn.silu(g) * u, lw["down"], l)
+            return (x, kc, vc), None
+
+        L = lw["ln1"].shape[0]
+        carry = (x, kv_cache["k"], kv_cache["v"])
+        (x, new_k, new_v), _ = jax.lax.scan(
+            layer_fn, carry, jnp.arange(L, dtype=jnp.int32)
         )
         x = rms_norm(x, params["final_norm"], eps)
         return x, {"k": new_k, "v": new_v}

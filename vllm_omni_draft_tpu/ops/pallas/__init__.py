@@ -40,9 +40,23 @@ def install(enable_attention: bool = True, enable_quant: bool = True) -> None:
             matmul_int8_pallas,
         )
 
+        from vllm_omni_draft_tpu.ops.pallas.quant_matmul import (
+            matmul_dense_stacked_pallas,
+            matmul_int4_stacked_pallas,
+            matmul_int8_stacked_pallas,
+        )
+
         int4 = (
             None
             if os.environ.get("VOT_DISABLE_PALLAS_INT4") == "1"
             else matmul_int4_pallas
         )
+        int4_l = (
+            None
+            if os.environ.get("VOT_DISABLE_PALLAS_INT4") == "1"
+            else matmul_int4_stacked_pallas
+        )
         quant.use_pallas_kernels(matmul_int8_pallas, int4)
+        quant.use_pallas_stacked_kernels(
+            matmul_int8_stacked_pallas, int4_l, matmul_dense_stacked_pallas
+        )

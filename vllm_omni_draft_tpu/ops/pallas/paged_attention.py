@@ -3,14 +3,17 @@
 TPU-native replacement for vLLM's CUDA PagedAttention (reference surface:
 `src/doc/test_report.md:118`, SURVEY.md §2.4). Design:
 
-- grid (B,): each program owns one sequence; all its KV-head groups'
+- grid (B/BQ,): each program owns BQ sequences; all their KV-head groups'
   G*T query rows (G = Hq/Hkv grouped queries, T = 1 decode or K+1 verify)
-  live in VMEM the whole time.
-- the sequence's KV is streamed from HBM in chunks of `CHUNK_BLOCKS`
+  live in VMEM the whole time. Batching BQ sequences per program amortizes
+  the per-chunk fixed cost (DMA issue + wait barriers + softmax VPU ops)
+  that dominates decode attention — the kernel is latency-bound, not
+  bandwidth-bound, at small T.
+- each sequence's KV is streamed from HBM in chunks of `CHUNK_BLOCKS`
   whole physical blocks ([BS, Hkv, D] each — a head-sliced DMA would
   violate the (sublane, lane) tiling of the cache and read 4x more
   overall) via double-buffered async DMA driven by the scalar-prefetched
-  block table — only `kv_len` tokens are ever read (the XLA gather
+  block table — only ~kv_len tokens are ever read (the XLA gather
   fallback reads the padded maximum).
 - online-softmax (flash) accumulation in f32, vectorized over heads;
   fp8 KV is dequantized in-register on the way into the MXU.
@@ -43,37 +46,42 @@ def _kernel(
     kvlen_ref,  # [B] int32 (SMEM)
     layer_ref,  # [1] int32 (SMEM) — layer index into a full 5-D cache
     # inputs
-    q_ref,  # [1, Hkv, GTP, D] VMEM
+    q_ref,  # [BQ, Hkv, GTP, D] VMEM
     k_hbm,  # [NB, BS, Hkv, D] or [L, NB, BS, Hkv, D] HBM
     v_hbm,
     # outputs
-    out_ref,  # [1, Hkv, GTP, D] VMEM
+    out_ref,  # [BQ, Hkv, GTP, D] VMEM
     # scratch
-    kbuf,  # [2, CHUNK_T, Hkv, D] VMEM (cache dtype)
+    kbuf,  # [2, BQ, CHUNK_T, Hkv, D] VMEM (cache dtype)
     vbuf,
-    sem,  # DMA sems [2, 2, CHUNK_BLOCKS]
+    sem,  # DMA sems [2, 2, BQ, CHUNK_BLOCKS]
     *,
     T: int,
     BS: int,
     CHUNK_BLOCKS: int,
+    BQ: int,
     scale: float,
     kv_scale: float,
     fp8: bool,
     full_cache: bool,
 ):
-    b = pl.program_id(0)
+    g = pl.program_id(0)
     CHUNK_T = CHUNK_BLOCKS * BS
     Hkv, GTP, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
-    kv_len = kvlen_ref[b]
     layer = layer_ref[0]
 
-    @pl.when(kv_len == 0)
+    kv_lens = [kvlen_ref[g * BQ + sq] for sq in range(BQ)]
+    max_len = kv_lens[0]
+    for sq in range(1, BQ):
+        max_len = jnp.maximum(max_len, kv_lens[sq])
+
+    @pl.when(max_len == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    @pl.when(kv_len > 0)
+    @pl.when(max_len > 0)
     def _():
-        num_chunks = pl.cdiv(kv_len, CHUNK_T)
+        num_chunks = pl.cdiv(max_len, CHUNK_T)
 
         def src(hbm, bid):
             # whole-block copy [BS, Hkv, D]: slices only the major dim,
@@ -84,43 +92,54 @@ def _kernel(
 
         def start_load(c, slot):
             base = c * CHUNK_BLOCKS
-            for i in range(CHUNK_BLOCKS):
-                bid = bt_ref[b, base + i]
-                pltpu.make_async_copy(
-                    src(k_hbm, bid),
-                    kbuf.at[slot, pl.ds(i * BS, BS)],
-                    sem.at[slot, 0, i],
-                ).start()
-                pltpu.make_async_copy(
-                    src(v_hbm, bid),
-                    vbuf.at[slot, pl.ds(i * BS, BS)],
-                    sem.at[slot, 1, i],
-                ).start()
+            for sq in range(BQ):
+                for i in range(CHUNK_BLOCKS):
+                    bid = bt_ref[g * BQ + sq, base + i]
+                    pltpu.make_async_copy(
+                        src(k_hbm, bid),
+                        kbuf.at[slot, sq, pl.ds(i * BS, BS)],
+                        sem.at[slot, 0, sq, i],
+                    ).start()
+                    pltpu.make_async_copy(
+                        src(v_hbm, bid),
+                        vbuf.at[slot, sq, pl.ds(i * BS, BS)],
+                        sem.at[slot, 1, sq, i],
+                    ).start()
 
         def wait_load(c, slot):
             base = c * CHUNK_BLOCKS
-            for i in range(CHUNK_BLOCKS):
-                bid = bt_ref[b, base + i]
-                pltpu.make_async_copy(
-                    src(k_hbm, bid),
-                    kbuf.at[slot, pl.ds(i * BS, BS)],
-                    sem.at[slot, 0, i],
-                ).wait()
-                pltpu.make_async_copy(
-                    src(v_hbm, bid),
-                    vbuf.at[slot, pl.ds(i * BS, BS)],
-                    sem.at[slot, 1, i],
-                ).wait()
+            for sq in range(BQ):
+                for i in range(CHUNK_BLOCKS):
+                    bid = bt_ref[g * BQ + sq, base + i]
+                    pltpu.make_async_copy(
+                        src(k_hbm, bid),
+                        kbuf.at[slot, sq, pl.ds(i * BS, BS)],
+                        sem.at[slot, 0, sq, i],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        src(v_hbm, bid),
+                        vbuf.at[slot, sq, pl.ds(i * BS, BS)],
+                        sem.at[slot, 1, sq, i],
+                    ).wait()
 
         start_load(0, 0)
-        q = q_ref[0].astype(jnp.float32)  # [Hkv, GTP, D]
+        q = q_ref[...].astype(jnp.float32)  # [BQ, Hkv, GTP, D]
 
         # query offset t for each padded row r: t = r % T
-        row_t = jax.lax.broadcasted_iota(jnp.int32, (Hkv, GTP, CHUNK_T), 1) % T
-        col = jax.lax.broadcasted_iota(jnp.int32, (Hkv, GTP, CHUNK_T), 2)
+        row_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (BQ, Hkv, GTP, CHUNK_T), 2) % T
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (BQ, Hkv, GTP, CHUNK_T), 3)
+        # per-sequence kv_len broadcast to the score shape
+        kvl = jnp.concatenate(
+            [
+                jnp.full((1, Hkv, GTP, CHUNK_T), 0, jnp.int32) + kv_lens[sq]
+                for sq in range(BQ)
+            ]
+        )
 
         def body(c, carry):
-            m, l, acc = carry  # [Hkv, GTP, 1] x2, [Hkv, GTP, D]
+            m, l, acc = carry  # [BQ, Hkv, GTP, 1] x2, [BQ, Hkv, GTP, D]
             slot = c % 2
 
             @pl.when(c + 1 < num_chunks)
@@ -128,25 +147,32 @@ def _kernel(
                 start_load(c + 1, (c + 1) % 2)
 
             wait_load(c, slot)
-            k = kbuf[slot].astype(jnp.float32)  # [CHUNK_T, Hkv, D]
+            k = kbuf[slot].astype(jnp.float32)  # [BQ, CHUNK_T, Hkv, D]
             v = vbuf[slot].astype(jnp.float32)
             if fp8:
                 k = k * kv_scale
                 v = v * kv_scale
 
-            # per-head scores stacked: [Hkv, GTP, CHUNK_T]
+            # per-(seq, head) scores stacked: [BQ, Hkv, GTP, CHUNK_T]
             s = jnp.stack(
                 [
-                    jax.lax.dot_general(
-                        q[h], k[:, h, :], (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                    jnp.stack(
+                        [
+                            jax.lax.dot_general(
+                                q[sq, h],
+                                k[sq, :, h, :],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            for h in range(Hkv)
+                        ]
                     )
-                    for h in range(Hkv)
+                    for sq in range(BQ)
                 ]
             ) * scale
 
             jg = c * CHUNK_T + col
-            mask = (jg < kv_len) & (jg <= kv_len - T + row_t)
+            mask = (jg < kvl) & (jg <= kvl - T + row_t)
             s = jnp.where(mask, s, NEG_INF)
 
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -155,26 +181,37 @@ def _kernel(
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             pv = jnp.stack(
                 [
-                    jax.lax.dot_general(
-                        p[h], v[:, h, :], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                    jnp.stack(
+                        [
+                            jax.lax.dot_general(
+                                p[sq, h],
+                                v[sq, :, h, :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            for h in range(Hkv)
+                        ]
                     )
-                    for h in range(Hkv)
+                    for sq in range(BQ)
                 ]
             )
             acc_new = acc * alpha + pv
             return m_new, l_new, acc_new
 
-        m0 = jnp.full((Hkv, GTP, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((Hkv, GTP, 1), jnp.float32)
-        acc0 = jnp.zeros((Hkv, GTP, D), jnp.float32)
+        m0 = jnp.full((BQ, Hkv, GTP, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((BQ, Hkv, GTP, 1), jnp.float32)
+        acc0 = jnp.zeros((BQ, Hkv, GTP, D), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, acc0))
         out = acc / jnp.maximum(l, 1e-30)
-        out_ref[0] = out.astype(out_ref.dtype)
+        out_ref[...] = out.astype(out_ref.dtype)
+
+
+# VMEM budget for the double-buffered KV scratch (bytes); BQ adapts to it
+_KV_SCRATCH_BUDGET = 8 * 1024 * 1024
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "kv_scale", "chunk_blocks")
+    jax.jit, static_argnames=("scale", "kv_scale", "chunk_blocks", "seqs_per_program")
 )
 def paged_attention_pallas(
     q: jax.Array,  # [B, T, Hq, D]
@@ -185,6 +222,7 @@ def paged_attention_pallas(
     scale: float,
     kv_scale: float = 1.0,
     chunk_blocks: int | None = None,
+    seqs_per_program: int | None = None,
     layer: jax.Array | None = None,  # required when cache is 5-D
 ) -> jax.Array:
     B, T, Hq, D = q.shape
@@ -206,17 +244,34 @@ def paged_attention_pallas(
     if pad_cols:
         block_tables = jnp.pad(block_tables, ((0, 0), (0, pad_cols)))
 
-    # [B, T, Hkv, G, D] -> [B, Hkv, G, T, D] -> [B, Hkv, GT, D], pad rows
-    qr = q.reshape(B, T, Hkv, G, D).transpose(0, 2, 3, 1, 4).reshape(B, Hkv, GT, D)
+    CHUNK_T = chunk_blocks * BS
+    if seqs_per_program is None:
+        itemsize = 1 if fp8 else 2
+        per_seq = 2 * 2 * CHUNK_T * Hkv * D * itemsize  # dbl-buffered K+V
+        seqs_per_program = max(1, min(8, _KV_SCRATCH_BUDGET // per_seq))
+    BQ = seqs_per_program
+    pad_b = (-B) % BQ
+    if pad_b:
+        q = jnp.pad(q, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
+        block_tables = jnp.pad(block_tables, ((0, pad_b), (0, 0)))
+        kv_lens = jnp.pad(kv_lens, ((0, pad_b),))
+    BP = B + pad_b
+
+    # [BP, T, Hkv, G, D] -> [BP, Hkv, G, T, D] -> [BP, Hkv, GT, D], pad rows
+    qr = (
+        q.reshape(BP, T, Hkv, G, D)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(BP, Hkv, GT, D)
+    )
     if GTP != GT:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, GTP - GT), (0, 0)))
 
-    CHUNK_T = chunk_blocks * BS
     kernel = functools.partial(
         _kernel,
         T=T,
         BS=BS,
         CHUNK_BLOCKS=chunk_blocks,
+        BQ=BQ,
         scale=scale,
         kv_scale=kv_scale,
         fp8=fp8,
@@ -224,35 +279,35 @@ def paged_attention_pallas(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B,),
+        grid=(BP // BQ,),
         in_specs=[
             pl.BlockSpec(
-                (1, Hkv, GTP, D), lambda b, *_: (b, 0, 0, 0),
+                (BQ, Hkv, GTP, D), lambda g, *_: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, Hkv, GTP, D), lambda b, *_: (b, 0, 0, 0),
+            (BQ, Hkv, GTP, D), lambda g, *_: (g, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK_T, Hkv, D), k_cache.dtype),
-            pltpu.VMEM((2, CHUNK_T, Hkv, D), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, chunk_blocks)),
+            pltpu.VMEM((2, BQ, CHUNK_T, Hkv, D), k_cache.dtype),
+            pltpu.VMEM((2, BQ, CHUNK_T, Hkv, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, BQ, chunk_blocks)),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, GTP, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BP, Hkv, GTP, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
     )(block_tables, kv_lens, layer_arr, qr, k_cache, v_cache)
 
-    out = out[:, :, :GT, :].reshape(B, Hkv, G, T, D)
+    out = out[:B, :, :GT, :].reshape(B, Hkv, G, T, D)
     return out.transpose(0, 3, 1, 2, 4).reshape(B, T, Hq, D)
 
 

@@ -69,9 +69,182 @@ def matmul_int8_pallas(
     return out[:B]
 
 
-def _int4_kernel(x_ref, w_ref, st_ref, o_ref, *, group_size: int):
-    """x [BP, I]; w [O_T, I//2] uint8 split-half; st [G, O_T] f32
-    (scales transposed so one group's scales are one lane-contiguous row).
+# ---------------------------------------------------------------------------
+# Stacked (layer-indexed) variants: the model's layer scan passes the FULL
+# stacked weight [L, O, I] plus a traced layer index; the kernel's
+# scalar-prefetched index map DMAs tiles of layer l straight out of HBM.
+# Without this, XLA materializes a per-layer HBM copy of every weight on
+# every scan iteration (dynamic-slice), which measured as ~60% of the
+# whole decode step at 7B INT8 (dynamic-slice_bitcast fusions, 91 us per
+# 68 MB weight — a full extra read+write of all weights per token).
+# ---------------------------------------------------------------------------
+
+
+def _int8_kernel_stacked(l_ref, x_ref, w_ref, s_ref, o_ref):
+    # x [BP, I]; w [1, O_T, I] int8 (layer-sliced by the index map);
+    # s [1, O_T, 1] f32; o [BP, O_T]
+    x = x_ref[...]
+    w = w_ref[0].astype(x.dtype)
+    acc = jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[...] = (acc * s_ref[0][:, 0][None, :]).astype(o_ref.dtype)
+
+
+def _dense_kernel_stacked(l_ref, x_ref, w_ref, o_ref):
+    x = x_ref[...]
+    w = w_ref[0]
+    acc = jax.lax.dot_general(
+        x, w.astype(x.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _stacked_call(kernel, x, w_stacked, extra_specs, extra_args, layer,
+                  block_o, itemsize):
+    """Shared wrapper: grid over output tiles of one layer of a stacked
+    [L, O, ...] weight, layer chosen by scalar prefetch."""
+    B, I = x.shape
+    L, O = w_stacked.shape[0], w_stacked.shape[1]
+    BP = max(8, -(-B // 8) * 8)
+    if BP != B:
+        x = jnp.pad(x, ((0, BP - B), (0, 0)))
+    row_bytes = w_stacked.shape[2] * itemsize
+    budget_rows = max(128, (12 * 1024 * 1024) // (2 * row_bytes))
+    block_o = min(block_o, O, 1 << (budget_rows.bit_length() - 1))
+    while O % block_o:
+        block_o //= 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(O // block_o,),
+        in_specs=[
+            pl.BlockSpec((BP, I), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_o, w_stacked.shape[2]),
+                         lambda i, l: (l[0], i, 0), memory_space=pltpu.VMEM),
+            *extra_specs(block_o),
+        ],
+        out_specs=pl.BlockSpec((BP, block_o), lambda i, l: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BP, O), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BP * O * I,
+            bytes_accessed=O * row_bytes + BP * I * x.dtype.itemsize
+            + BP * O * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32), x, w_stacked, *extra_args)
+    return out[:B]
+
+
+@functools.partial(jax.jit, static_argnames=("block_o",))
+def matmul_int8_stacked_pallas(
+    x: jax.Array,  # [B, I] bf16/f32
+    q: jax.Array,  # [L, O, I] int8
+    s: jax.Array,  # [L, O, 1] f32
+    layer: jax.Array,  # scalar int32
+    block_o: int = 512,
+) -> jax.Array:
+    specs = lambda bo: [
+        pl.BlockSpec((1, bo, 1), lambda i, l: (l[0], i, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    return _stacked_call(
+        _int8_kernel_stacked, x, q, specs, (s,), layer, block_o, itemsize=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_o",))
+def matmul_dense_stacked_pallas(
+    x: jax.Array,  # [B, I]
+    w: jax.Array,  # [L, O, I] bf16/f32
+    layer: jax.Array,  # scalar int32
+    block_o: int = 512,
+) -> jax.Array:
+    return _stacked_call(
+        _dense_kernel_stacked, x, w, lambda bo: [], (), layer, block_o,
+        itemsize=w.dtype.itemsize,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_o",))
+def matmul_int4_stacked_pallas(
+    x: jax.Array,  # [B, I]
+    packed: jax.Array,  # [L, O, I//2] uint8 (split-half)
+    s: jax.Array,  # [L, O, I//G] f32
+    layer: jax.Array,  # scalar int32
+    block_o: int = 512,
+) -> jax.Array:
+    """Layer-indexed int4: the PACKED WEIGHT (the big array) streams
+    straight from the stacked HBM tensor via the scalar-prefetched index
+    map; the scales (3% of the bytes) are dynamic-sliced outside — a
+    negligible copy that avoids changing the [O, G] scale layout the
+    rest of the stack uses."""
+    B, I = x.shape
+    L, O = packed.shape[0], packed.shape[1]
+    G = s.shape[2]
+    group_size = I // G
+    BP = max(8, -(-B // 8) * 8)
+    if (
+        BP > _INT4_MAX_BP
+        or G % 2
+        or group_size % 128
+        or (I // 2) % group_size
+    ):
+        from vllm_omni_draft_tpu.ops import quant as q
+
+        w = q.dequantize(
+            {"w": jnp.take(packed, layer, 0), "s": jnp.take(s, layer, 0)},
+            dtype=x.dtype,
+        )
+        return x @ w.T
+    if BP != B:
+        x = jnp.pad(x, ((0, BP - B), (0, 0)))
+    st = jnp.take(s, layer, axis=0).T.astype(jnp.float32)  # [G, O]
+    budget_rows = max(128, (12 * 1024 * 1024) // I)
+    cap = 1 << (budget_rows.bit_length() - 1)
+    block_o = max(128, min(block_o, O, cap))
+    while O % block_o:
+        block_o //= 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(O // block_o,),
+        in_specs=[
+            pl.BlockSpec((BP, I), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_o, I // 2), lambda i, l: (l[0], i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, block_o), lambda i, l: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BP, block_o), lambda i, l: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_int4_kernel_stacked, group_size=group_size),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BP, O), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BP * O * I,
+            bytes_accessed=O * I // 2 + BP * I * x.dtype.itemsize
+            + BP * O * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32), x, packed, st)
+    return out[:B]
+
+
+def _int4_body(x_ref, w_slice, st_ref, o_ref, group_size: int):
+    """x [BP, I]; w_slice [O_T, I//2] uint8 split-half (ref or loaded
+    value); st [G, O_T] f32 (scales transposed so one group's scales are
+    one lane-contiguous row).
 
     No reshapes (Mosaic rejects every group-scale reshape/broadcast at 7B
     group counts — PERF_NOTES.md): each group is a STATIC slice, contracted
@@ -82,7 +255,7 @@ def _int4_kernel(x_ref, w_ref, st_ref, o_ref, *, group_size: int):
     rank-1 correction instead of a per-element subtract:
         y[b,o] = sum_g s[o,g] * (sum_i x[b,i]*u[o,i] - 8 * sum_i x[b,i])
     so unpacking a nibble costs only mask/shift + cast."""
-    half = w_ref.shape[1]
+    half = w_slice.shape[1]
     C = half // group_size  # chunks of packed columns == groups per half
     dt = x_ref.dtype
 
@@ -91,7 +264,7 @@ def _int4_kernel(x_ref, w_ref, st_ref, o_ref, *, group_size: int):
     acc = jnp.zeros(o_ref.shape, jnp.float32)
     for c in range(C):
         sl = slice(c * group_size, (c + 1) * group_size)
-        p = w_ref[:, sl].astype(jnp.int32)  # no i8 vector arithmetic
+        p = w_slice[:, sl].astype(jnp.int32)  # no i8 vector arithmetic
         for vals, xs, g in (
             ((p & 0xF), x_all[:, sl], c),
             ((p >> 4), x_all[:, half + c * group_size:
@@ -104,6 +277,15 @@ def _int4_kernel(x_ref, w_ref, st_ref, o_ref, *, group_size: int):
             xsum = jnp.sum(xs.astype(jnp.float32), axis=1, keepdims=True)
             acc += (t - 8.0 * xsum) * s_all[g][None, :]
     o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _int4_kernel_stacked(l_ref, x_ref, w_ref, st_ref, o_ref, *,
+                         group_size: int):
+    _int4_body(x_ref, w_ref[0], st_ref, o_ref, group_size)
+
+
+def _int4_kernel(x_ref, w_ref, st_ref, o_ref, *, group_size: int):
+    _int4_body(x_ref, w_ref, st_ref, o_ref, group_size)
 
 
 # activations wider than this take the XLA fallback (VMEM can't hold the

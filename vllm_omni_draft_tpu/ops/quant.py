@@ -100,11 +100,19 @@ def dequantize(w: dict, dtype=jnp.bfloat16) -> jax.Array:
 # Set by ops.pallas.quant_matmul when running on TPU.
 _PALLAS_INT8 = None
 _PALLAS_INT4 = None
+_PALLAS_INT8_L = None
+_PALLAS_INT4_L = None
+_PALLAS_DENSE_L = None
 
 
 def use_pallas_kernels(int8_fn, int4_fn=None) -> None:
     global _PALLAS_INT8, _PALLAS_INT4
     _PALLAS_INT8, _PALLAS_INT4 = int8_fn, int4_fn
+
+
+def use_pallas_stacked_kernels(int8_fn, int4_fn=None, dense_fn=None) -> None:
+    global _PALLAS_INT8_L, _PALLAS_INT4_L, _PALLAS_DENSE_L
+    _PALLAS_INT8_L, _PALLAS_INT4_L, _PALLAS_DENSE_L = int8_fn, int4_fn, dense_fn
 
 
 def matmul_int8(x: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
@@ -121,6 +129,42 @@ def matmul_int4(x: jax.Array, packed: jax.Array, s: jax.Array) -> jax.Array:
         return _PALLAS_INT4(x, packed, s)
     w = dequantize({"w": packed, "s": s}, dtype=x.dtype)
     return x @ w.T
+
+
+# ---------------------------------------------------------------------------
+# Layer-indexed matmuls over STACKED weights [L, O, ...] — the layer-scan
+# hot path. The Pallas kernels stream layer `layer`'s tiles straight from
+# the stacked HBM array (scalar-prefetched index map); the XLA fallback
+# dynamic-slices the layer out first (fine on CPU, a full extra weight
+# read+write per layer per step on TPU — which is why the kernels exist).
+# ---------------------------------------------------------------------------
+
+
+def matmul_int8_at_layer(
+    x: jax.Array, q: jax.Array, s: jax.Array, layer: jax.Array
+) -> jax.Array:
+    """x: [B, I]; q: [L, O, I] int8; s: [L, O, 1] f32; layer scalar."""
+    if _PALLAS_INT8_L is not None:
+        return _PALLAS_INT8_L(x, q, s, layer)
+    return matmul_int8(x, jnp.take(q, layer, 0), jnp.take(s, layer, 0))
+
+
+def matmul_int4_at_layer(
+    x: jax.Array, packed: jax.Array, s: jax.Array, layer: jax.Array
+) -> jax.Array:
+    """x: [B, I]; packed: [L, O, I//2] uint8; s: [L, O, I//G] f32."""
+    if _PALLAS_INT4_L is not None:
+        return _PALLAS_INT4_L(x, packed, s, layer)
+    return matmul_int4(x, jnp.take(packed, layer, 0), jnp.take(s, layer, 0))
+
+
+def matmul_dense_at_layer(
+    x: jax.Array, w: jax.Array, layer: jax.Array
+) -> jax.Array:
+    """x: [B, I]; w: [L, O, I] float."""
+    if _PALLAS_DENSE_L is not None:
+        return _PALLAS_DENSE_L(x, w, layer)
+    return x @ jnp.take(w, layer, 0).T.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
