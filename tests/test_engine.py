@@ -321,3 +321,55 @@ def test_fp8_kv_cache_engine(hf_checkpoint):
     ref = _hf_greedy(hf, prompt, 8)
     agree = sum(a == b for a, b in zip(out.outputs[0].token_ids, ref))
     assert agree >= 4, (out.outputs[0].token_ids, ref)
+
+
+# ---------------------------------------------------------------------------
+# pooling / encode (reference: AsyncLLM.generate()/encode(),
+# engine_core.md:187, 800-813)
+# ---------------------------------------------------------------------------
+
+
+def test_encode_pooling(hf_checkpoint):
+    path, _ = hf_checkpoint
+    llm = LLM(_config(path))
+    outs = llm.encode(["hello world", "hi"])
+    assert len(outs) == 2
+    for o in outs:
+        assert o.finished
+        assert o.data.shape == (TINY_HF["hidden_size"],)
+        assert o.data.dtype == np.float32
+    # bucket padding is inert: the same prompt through a bigger bucket
+    # yields the same embedding
+    ids = llm.tokenizer.encode("hello world")
+    e_small = llm.engine.runner.encode(ids)
+    e_big = llm.engine.runner.encode(ids + [0] * 0)  # same bucket sanity
+    big_bucket = llm.engine.runner._make_encode_fn(64)
+    import jax.numpy as jnp
+
+    toks = np.zeros((1, 64), np.int32)
+    toks[0, : len(ids)] = ids
+    mean_big, _ = big_bucket(
+        llm.engine.runner.target_params, jnp.asarray(toks), jnp.int32(len(ids))
+    )
+    np.testing.assert_allclose(e_small, np.asarray(mean_big), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(e_small, e_big, rtol=0, atol=0)
+    # last-token pooling differs from mean for multi-token prompts
+    e_last = llm.engine.runner.encode(ids, pooling="last")
+    assert e_last.shape == e_small.shape
+
+
+def test_async_encode(hf_checkpoint):
+    import asyncio
+
+    from vllm_omni_draft_tpu.engine.async_llm import AsyncLLM
+
+    path, _ = hf_checkpoint
+    allm = AsyncLLM(_config(path))
+
+    async def run():
+        out = await allm.encode("hello world")
+        return out
+
+    out = asyncio.run(run())
+    allm.shutdown()
+    assert out.data.shape == (TINY_HF["hidden_size"],)

@@ -139,3 +139,71 @@ def test_end_to_end_real_llm_stage():
     assert len(outs) == 1
     assert outs[0].final_output_type == "text"
     assert len(outs[0].outputs.outputs[0].token_ids) == 5
+
+
+def test_talker_stage_synthesis_invariants():
+    """Talker stage: waveform shape, bounds, padding-silence, determinism."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vllm_omni_draft_tpu.models.talker import (
+        TalkerConfig,
+        init_params,
+        make_synthesizer,
+    )
+
+    cfg = TalkerConfig(vocab_size=64, hidden=32, num_blocks=1,
+                       frames_per_token=2, upsample=(3, 4))
+    params = init_params(cfg)
+    fn = jax.jit(make_synthesizer(cfg))
+    tokens = jnp.asarray([[5, 9, 3, 0, 0, 0, 0, 0]], jnp.int32)
+    wave = np.asarray(fn(params, tokens, jnp.asarray([3], jnp.int32)))
+    per_tok = cfg.frames_per_token * cfg.hop
+    assert wave.shape == (1, 8 * per_tok)
+    assert np.all(np.abs(wave) <= 1.0)
+    # padded tokens synthesize exact silence
+    assert np.all(wave[0, 3 * per_tok:] == 0.0)
+    # real tokens produce signal, and the fn is deterministic
+    assert np.any(wave[0, : 3 * per_tok] != 0.0)
+    wave2 = np.asarray(fn(params, tokens, jnp.asarray([3], jnp.int32)))
+    np.testing.assert_array_equal(wave, wave2)
+
+
+def test_thinker_talker_pipeline_end_to_end():
+    """Two real stages: tiny llm -> talker, audio final output at 24 kHz."""
+    import numpy as np
+
+    from vllm_omni_draft_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        SchedulerConfig,
+    )
+    from vllm_omni_draft_tpu.core.request import SamplingParams
+    from vllm_omni_draft_tpu.models.talker import TalkerConfig
+
+    cfg = EngineConfig(
+        model=ModelConfig.tiny(vocab_size=258, max_model_len=128),
+        cache=CacheConfig(block_size=8, num_blocks=64),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_num_batched_tokens=64,
+                                  prefill_buckets=(16, 64)),
+    )
+    stages = [
+        StageConfig(stage_id=0, stage_type="llm", final_output=False,
+                    engine_args={"config": cfg}),
+        StageConfig(stage_id=1, stage_type="talker", final_output=True,
+                    final_output_type="audio",
+                    engine_args={"talker_config": TalkerConfig(
+                        vocab_size=258, hidden=32, num_blocks=1,
+                        frames_per_token=2, upsample=(3, 4))}),
+    ]
+    llm = OmniLLM("synthetic", stage_configs=stages)
+    outs = llm.generate(
+        ["speak this"], [SamplingParams(max_tokens=4, temperature=0.0), None]
+    )
+    assert len(outs) == 1
+    assert outs[0].final_output_type == "audio"
+    audio = outs[0].outputs.multimodal_output["audio"]
+    assert outs[0].outputs.sample_rate == 24000
+    assert np.asarray(audio).ndim == 1 and np.asarray(audio).size > 0

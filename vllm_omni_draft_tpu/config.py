@@ -276,7 +276,7 @@ class StageConfig:
     """One stage of an Omni pipeline (e.g. AR thinker -> DiT talker)."""
 
     stage_id: int = 0
-    stage_type: str = "llm"  # "llm" | "diffusion"
+    stage_type: str = "llm"  # "llm" | "diffusion" | "talker"
     model: str = ""
     engine_args: dict[str, Any] = field(default_factory=dict)
     final_output: bool = False

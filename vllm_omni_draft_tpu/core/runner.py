@@ -221,6 +221,7 @@ class ModelRunner:
         self.base_key = jax.random.PRNGKey(config.seed)
 
         self._build_fns()
+        self._encode_fns: dict[int, object] = {}
         self.last_step_time = 0.0
 
     def _make_kv(self, mod, mcfg) -> dict:
@@ -595,6 +596,55 @@ class ModelRunner:
 
         self._spec_fn = jit(_spec_multi(False), donate_argnums=(2, 3))
         self._spec_greedy_fn = jit(_spec_multi(True), donate_argnums=(2, 3))
+
+    # ------------------------------------------------------------------
+    # pooling / encode (reference: `AsyncLLM.encode()` and the pooling
+    # output path, `src/doc/engine_core.md:187, 800-813`)
+    # ------------------------------------------------------------------
+
+    def _make_encode_fn(self, T: int):
+        cfg = self.config.model
+        bs = self.block_size
+        nb = -(-T // bs)  # data blocks; block 0 stays the null block
+        mod, fwd = self.target_mod, self.target_fwd
+
+        def encode(params, tokens, num_real):
+            idx = jnp.arange(T, dtype=jnp.int32)
+            real = idx < num_real
+            positions = jnp.where(real, idx, -1)[None, :]
+            bt = jnp.arange(1, nb + 1, dtype=jnp.int32)[None, :]
+            # encode is one-shot: a throwaway local cache sized to the
+            # bucket (zeros inside the jit — XLA allocates it transiently)
+            kv = mod.init_kv_cache(cfg, nb + 1, bs)
+            meta = AttentionMetadata(
+                block_tables=bt,
+                kv_lens=num_real[None],
+                positions=positions,
+                slot_mapping=_slots_from_positions(bt, positions, bs),
+            )
+            hidden, _ = fwd(params, tokens, positions, kv, meta)
+            hf = hidden[0].astype(jnp.float32)
+            m = real[:, None].astype(jnp.float32)
+            mean = jnp.sum(hf * m, axis=0) / jnp.maximum(jnp.sum(m), 1.0)
+            last = hf[jnp.maximum(num_real - 1, 0)]
+            return mean, last
+
+        return encode if self.config.enforce_eager else jax.jit(encode)
+
+    def encode(self, token_ids: list[int], pooling: str = "mean") -> np.ndarray:
+        """Pooled embedding of a prompt ([D] f32). pooling: mean | last."""
+        n = len(token_ids)
+        T = next((b for b in self.buckets if b >= n), None)
+        if T is None:  # longer than every prefill bucket: pow2 one-off
+            T = 1 << (n - 1).bit_length()
+        if T not in self._encode_fns:
+            self._encode_fns[T] = self._make_encode_fn(T)
+        tokens = np.zeros((1, T), np.int32)
+        tokens[0, :n] = token_ids
+        mean, last = self._encode_fns[T](
+            self.target_params, jnp.asarray(tokens), jnp.int32(n)
+        )
+        return np.asarray(mean if pooling == "mean" else last)
 
     # ------------------------------------------------------------------
     # slot management

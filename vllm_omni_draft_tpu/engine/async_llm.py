@@ -147,6 +147,29 @@ class AsyncLLM:
                 self.output_processor.states.pop(rid, None)
             raise
 
+    async def encode(self, prompt, pooling: str = "mean"):
+        """Pooled prompt embedding (reference surface:
+        `AsyncLLM.generate()/encode()`, `engine_core.md:187`). Runs the
+        one-shot encode forward off the event loop; the engine lock keeps
+        it serialized with decode steps."""
+        from vllm_omni_draft_tpu.core.request import PoolingRequestOutput
+
+        self._ensure_started()
+        if self._errored:
+            raise self._errored
+        ids = (
+            self.tokenizer.encode(prompt) if isinstance(prompt, str) else list(prompt)
+        )
+
+        def _run():
+            with self._lock:
+                return self.engine.runner.encode(ids, pooling=pooling)
+
+        data = await asyncio.get_running_loop().run_in_executor(None, _run)
+        return PoolingRequestOutput(
+            request_id=f"req-{next(_req_counter)}", data=data
+        )
+
     async def abort(self, request_id: str) -> None:
         with self._lock:
             self.engine.abort_requests([request_id])

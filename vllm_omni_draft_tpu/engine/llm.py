@@ -156,5 +156,26 @@ class LLM:
         ]
         return self.generate(token_lists, sampling_params)
 
+    def encode(self, prompts, pooling: str = "mean"):
+        """Pooled prompt embeddings (reference surface:
+        `AsyncLLM.generate()/encode()`, `src/doc/engine_core.md:187`;
+        pooling outputs bypass detokenization, `engine_core.md:800-813`).
+        Returns one PoolingRequestOutput per prompt; `data` is a [D] f32
+        numpy embedding (mean- or last-token-pooled)."""
+        from vllm_omni_draft_tpu.core.request import PoolingRequestOutput
+
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        outs = []
+        for p in prompts:
+            ids = self.tokenizer.encode(p) if isinstance(p, str) else list(p)
+            data = self.engine.runner.encode(ids, pooling=pooling)
+            outs.append(
+                PoolingRequestOutput(
+                    request_id=f"req-{next(_req_counter)}", data=data
+                )
+            )
+        return outs
+
     def get_stats(self) -> dict:
         return self.engine.get_stats()

@@ -46,7 +46,8 @@ class OmniRequestOutput:
 
 class OmniStageLLM:
     """One stage's engine. stage_type 'llm' wraps the text engine;
-    'diffusion' wraps the DiT denoise pipeline (models/dit.py)."""
+    'diffusion' wraps the DiT denoise pipeline (models/dit.py); 'talker'
+    wraps the token->waveform synthesizer (models/talker.py)."""
 
     def __init__(self, stage_config: StageConfig, **engine_args):
         self.stage_config = stage_config
@@ -73,6 +74,12 @@ class OmniStageLLM:
                 from vllm_omni_draft_tpu.models.dit import DiffusionStageEngine
 
                 self._engine = DiffusionStageEngine(
+                    self.stage_config, **self._engine_args
+                )
+            elif self.stage_type == "talker":
+                from vllm_omni_draft_tpu.models.talker import TalkerStageEngine
+
+                self._engine = TalkerStageEngine(
                     self.stage_config, **self._engine_args
                 )
             else:
@@ -110,8 +117,8 @@ class OmniStage:
         outs = prev.engine_outputs
         if outs is None:
             return prompts
-        if self.config.stage_type == "diffusion":
-            return outs  # conditioning payloads (text/embeddings)
+        if self.config.stage_type in ("diffusion", "talker"):
+            return outs  # conditioning payloads (text/embeddings/token ids)
         # llm stage after llm stage: continue from generated text
         return [
             o.outputs[0].text if getattr(o, "outputs", None) else ""
