@@ -21,6 +21,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _budget_rows(BP: int, I: int, x_itemsize: int, row_bytes: int) -> int:
+    """Weight-tile rows that fit VMEM next to the resident x and the
+    (double-buffered) output tile: 2 weight buffers of `row_bytes` each."""
+    x_bytes = BP * I * x_itemsize
+    avail = _VMEM_BUDGET - x_bytes
+    return max(128, avail // (2 * row_bytes)) if avail > 0 else 128
+
+
 def _int8_kernel(x_ref, w_ref, s_ref, o_ref):
     # x [BP, I]; w [O_T, I] int8; s [O_T, 1] f32; o [BP, O_T]
     x = x_ref[...]
@@ -43,8 +54,8 @@ def matmul_int8_pallas(
     BP = max(8, -(-B // 8) * 8)
     if BP != B:
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
-    # double-buffered weight tiles must fit the scoped-VMEM budget
-    budget_rows = max(128, (12 * 1024 * 1024) // (2 * I))
+    # double-buffered weight tiles + the resident x must fit VMEM
+    budget_rows = _budget_rows(BP, I, x.dtype.itemsize, row_bytes=I)
     block_o = min(block_o, O, 1 << (budget_rows.bit_length() - 1))
     while O % block_o:  # e.g. vocab 151936 = 2^7 * 1187
         block_o //= 2
@@ -111,7 +122,7 @@ def _stacked_call(kernel, x, w_stacked, extra_specs, extra_args, layer,
     if BP != B:
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
     row_bytes = w_stacked.shape[2] * itemsize
-    budget_rows = max(128, (12 * 1024 * 1024) // (2 * row_bytes))
+    budget_rows = _budget_rows(BP, I, x.dtype.itemsize, row_bytes)
     block_o = min(block_o, O, 1 << (budget_rows.bit_length() - 1))
     while O % block_o:
         block_o //= 2
@@ -207,7 +218,7 @@ def matmul_int4_stacked_pallas(
     if BP != B:
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
     st = jnp.take(s, layer, axis=0).T.astype(jnp.float32)  # [G, O]
-    budget_rows = max(128, (12 * 1024 * 1024) // I)
+    budget_rows = _budget_rows(BP, I, x.dtype.itemsize, row_bytes=I // 2)
     cap = 1 << (budget_rows.bit_length() - 1)
     block_o = max(128, min(block_o, O, cap))
     while O % block_o:
@@ -288,9 +299,12 @@ def _int4_kernel(x_ref, w_ref, st_ref, o_ref, *, group_size: int):
     _int4_body(x_ref, w_ref, st_ref, o_ref, group_size)
 
 
-# activations wider than this take the XLA fallback (VMEM can't hold the
-# resident x plus double-buffered weight tiles)
-_INT4_MAX_BP = 128
+# activations wider than this take the XLA fallback. 160 rows covers the
+# spec-verify batch (B*(K+1) = 32*5); the x-aware VMEM budget
+# (_budget_rows) shrinks the weight tile to compensate. Wider OOMs scoped
+# VMEM at I=18944 (Mosaic materializes an f32 copy of x for the rank-1
+# zero-point row sums — measured 24.7M > 16M at 256 rows).
+_INT4_MAX_BP = 160
 
 
 @functools.partial(jax.jit, static_argnames=("block_o",))
@@ -320,7 +334,7 @@ def matmul_int4_pallas(
     if BP != B:
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
     # budget/row: packed I/2 bytes double-buffered, plus resident x
-    budget_rows = max(128, (12 * 1024 * 1024) // I)
+    budget_rows = _budget_rows(BP, I, x.dtype.itemsize, row_bytes=I // 2)
     cap = 1 << (budget_rows.bit_length() - 1)
     block_o = max(128, min(block_o, O, cap))
     while O % block_o:
