@@ -193,3 +193,47 @@ def test_engine_proc_split_over_zmq():
         assert "scheduler" in stats
     finally:
         client.shutdown()
+
+
+def test_api_server_models_and_embeddings(async_llm):
+    async def run():
+        from vllm_omni_draft_tpu.entrypoints.api_server import serve
+
+        srv = await serve(async_llm, host="127.0.0.1", port=0,
+                          model_name="tiny-model")
+        port = srv.sockets[0].getsockname()[1]
+
+        async def req(method, path, obj=None):
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            body = json.dumps(obj).encode() if obj is not None else b""
+            head = f"{method} {path} HTTP/1.1\r\nHost: x\r\n"
+            if body:
+                head += (
+                    "Content-Type: application/json\r\n"
+                    f"Content-Length: {len(body)}\r\n"
+                )
+            writer.write(head.encode() + b"\r\n" + body)
+            await writer.drain()
+            raw = await reader.read()
+            writer.close()
+            h, _, payload = raw.partition(b"\r\n\r\n")
+            return int(h.split(b" ")[1]), json.loads(payload)
+
+        status, models = await req("GET", "/v1/models")
+        assert status == 200
+        assert models["data"][0]["id"] == "tiny-model"
+
+        status, emb = await req(
+            "POST", "/v1/embeddings", {"input": ["hello", "world"]}
+        )
+        assert status == 200
+        assert len(emb["data"]) == 2
+        D = async_llm.config.model.hidden_size
+        assert len(emb["data"][0]["embedding"]) == D
+        assert emb["data"][0]["embedding"] != emb["data"][1]["embedding"]
+
+        status, err = await req("POST", "/v1/embeddings", {})
+        assert status == 400
+        srv.close()
+
+    asyncio.run(run())

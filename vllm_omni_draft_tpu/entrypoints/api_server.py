@@ -8,9 +8,11 @@ asyncio + http handcoding is a feature, not a compromise.
 Endpoints:
   GET  /health
   GET  /stats
+  GET  /v1/models
   POST /v1/completions        {prompt, max_tokens, temperature, top_p,
                                top_k, stop, stream}
   POST /v1/chat/completions   {messages, ...same params}
+  POST /v1/embeddings         {input: str | [str], pooling}
 SSE streaming (`data: {...}\n\n`, terminated by `data: [DONE]`).
 """
 
@@ -90,6 +92,31 @@ class ApiServer:
                 "waiting": stats["scheduler"].num_waiting,
                 "kv_usage": stats["scheduler"].kv_usage,
                 "spec_acceptance": stats["spec_decode"].acceptance_rate,
+            })
+        if method == "GET" and path == "/v1/models":
+            return await self._json(writer, 200, {
+                "object": "list",
+                "data": [{"id": self.model_name, "object": "model",
+                          "owned_by": "vot"}],
+            })
+        if method == "POST" and path == "/v1/embeddings":
+            try:
+                payload = json.loads(body or b"{}")
+            except json.JSONDecodeError:
+                return await self._json(writer, 400, {"error": "invalid JSON"})
+            inputs = payload.get("input")
+            if inputs is None:
+                return await self._json(writer, 400, {"error": "input required"})
+            if isinstance(inputs, str):
+                inputs = [inputs]
+            pooling = payload.get("pooling", "mean")
+            data = []
+            for i, text in enumerate(inputs):
+                out = await self.llm.encode(text, pooling=pooling)
+                data.append({"object": "embedding", "index": i,
+                             "embedding": [float(v) for v in out.data]})
+            return await self._json(writer, 200, {
+                "object": "list", "data": data, "model": self.model_name,
             })
         if method == "POST" and path in ("/v1/completions", "/v1/chat/completions"):
             try:
