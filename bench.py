@@ -103,14 +103,19 @@ def main():
             draft_model=draft, num_speculative_tokens=4, draft_vocab_size=dv
         )
 
+    M = int(os.environ.get("VOT_BENCH_DECODE_STEPS", "8"))
+    K = spec.num_speculative_tokens if spec else 0
     cfg = EngineConfig(
         model=target,
         cache=CacheConfig(block_size=16, gpu_memory_utilization=0.85),
         scheduler=SchedulerConfig(
             max_num_seqs=B,
-            max_num_batched_tokens=max(prompt_len, 256),
+            # the token budget must cover a FULL decode batch's worst case
+            # (every slot advancing M*(K+1) tokens) or the scheduler
+            # silently halves the decode batch per step
+            max_num_batched_tokens=max(prompt_len, 256, B * M * (K + 1)),
             prefill_buckets=(prompt_len,),
-            decode_steps=int(os.environ.get("VOT_BENCH_DECODE_STEPS", "8")),
+            decode_steps=M,
             max_model_len=max_model_len,
         ),
         speculative=spec,

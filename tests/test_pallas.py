@@ -133,3 +133,59 @@ def test_quant_matmul_kernels_interpret(shape, monkeypatch):
     ref4 = x @ q.dequantize(q4, jnp.float32).T
     np.testing.assert_allclose(np.asarray(got4), np.asarray(ref4),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "T,num_real,start,tq",
+    [
+        (24, 24, 0, 128),   # fresh full chunk, single tile
+        (24, 19, 7, 8),     # chunked continuation + padding, multi-tile
+        (40, 33, 0, 16),    # padding rows in the last tile
+    ],
+)
+def test_paged_prefill_kernel_interpret_matches_reference(
+    T, num_real, start, tq, monkeypatch
+):
+    from vllm_omni_draft_tpu.ops.pallas import paged_attention as pa
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **kw: orig_call(*a, **{**kw, "interpret": True})
+    )
+    monkeypatch.setattr(pa, "_PREFILL_TQ", tq)
+
+    Hq, Hkv, D, BS, NB = 8, 2, 64, 8, 32
+    kv_len = start + num_real
+    key = jax.random.PRNGKey(T)
+    qarr = jax.random.normal(key, (1, T, Hq, D), jnp.float32)
+    k_cache = jax.random.normal(jax.random.PRNGKey(1), (NB, BS, Hkv, D), jnp.float32)
+    v_cache = jax.random.normal(jax.random.PRNGKey(2), (NB, BS, Hkv, D), jnp.float32)
+    max_blocks = NB - 1
+    tables = np.zeros((1, max_blocks), np.int32)
+    perm = np.random.default_rng(0).permutation(np.arange(1, NB))
+    nb_used = -(-kv_len // BS)
+    tables[0, :nb_used] = perm[:nb_used]
+    positions = np.where(
+        np.arange(T) < num_real, start + np.arange(T), -1
+    ).astype(np.int32)[None, :]
+    meta = AttentionMetadata(
+        block_tables=jnp.asarray(tables),
+        kv_lens=jnp.asarray([kv_len], jnp.int32),
+        positions=jnp.asarray(positions),
+        slot_mapping=jnp.full((1, T), -1, jnp.int32),
+    )
+    scale = D ** -0.5
+    ref = paged_attention(qarr, k_cache, v_cache, meta, scale)
+    out = pa.paged_prefill_pallas(
+        qarr, k_cache, v_cache, meta.block_tables, meta.kv_lens[0],
+        jnp.int32(num_real), scale,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[0, :num_real],
+        np.asarray(ref)[0, :num_real],
+        rtol=2e-5, atol=2e-5,
+    )
+    # padded query rows are exactly zero
+    if num_real < T:
+        assert np.all(np.asarray(out)[0, num_real:] == 0.0)

@@ -79,3 +79,31 @@ def test_fp8_kv_ppl_delta(setup):
     cfg8 = dataclasses.replace(cfg, kv_cache_dtype="fp8")
     ppl8 = _ppl(cfg8, params, tokens)
     assert abs(ppl8 - base) / base < 0.05, (base, ppl8)
+
+
+def test_lm_head_padding_inert(setup):
+    """pad_out_rows pads the quantized lm_head with zero-scale rows;
+    compute_logits must slice back to the real vocab and the padded rows
+    must not change any logit."""
+    import jax.numpy as jnp
+
+    from vllm_omni_draft_tpu.models import qwen2
+    from vllm_omni_draft_tpu.ops import quant as quant_ops
+
+    cfg, params, tokens, _ = setup
+    q = quantize_params(params, "int8")
+    assert "lm_head" in q
+    padded = q["lm_head"]
+    assert padded["w"].shape[0] % 512 == 0
+    assert padded["w"].shape[0] >= cfg.vocab_size
+    hidden = jnp.ones((3, cfg.hidden_size), jnp.float32)
+    logits = qwen2.compute_logits(cfg, q, hidden)
+    assert logits.shape == (3, cfg.vocab_size)
+    # unpadded head gives identical logits
+    unpadded = {k: v[: cfg.vocab_size] for k, v in padded.items()}
+    logits_ref = qwen2.compute_logits(cfg, {**q, "lm_head": unpadded}, hidden)
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(logits_ref), rtol=1e-6, atol=1e-6
+    )

@@ -113,6 +113,9 @@ def init_params_quantized(cfg: ModelConfig, key: jax.Array | None = None) -> dic
             s = jnp.full((*shape[:-2], O, 1), scale_mag, jnp.float32)
         return {"w": w, "s": s}
 
+    def qw_head(shape, fan_in):
+        return quant_ops.pad_out_rows(qw(shape, fan_in))
+
     params = {
         "embed": (jax.random.normal(next(ks), (V, D), dt) / math.sqrt(D)),
         "layers": {
@@ -129,7 +132,7 @@ def init_params_quantized(cfg: ModelConfig, key: jax.Array | None = None) -> dic
         "final_norm": jnp.ones((D,), dt),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = qw((V, D), D)
+        params["lm_head"] = qw_head((V, D), D)
     return params
 
 
@@ -220,9 +223,12 @@ def make_forward(cfg: ModelConfig):
 
 def compute_logits(cfg: ModelConfig, params: dict, hidden: jax.Array) -> jax.Array:
     """hidden [N, D] -> logits [N, V] in f32 (select rows before calling —
-    vLLM-style logits-index selection keeps prefill cheap)."""
+    vLLM-style logits-index selection keeps prefill cheap). A quantized
+    lm_head may carry tile-padding rows (quant_ops.pad_out_rows) — slice
+    back to the real vocab so padded ids can never be sampled."""
     head = params["lm_head"] if "lm_head" in params else {"w": params["embed"]}
-    return linear(hidden, head, out_dtype=jnp.float32)
+    logits = linear(hidden, head, out_dtype=jnp.float32)
+    return logits[..., : cfg.vocab_size]
 
 
 import sys as _sys  # noqa: E402

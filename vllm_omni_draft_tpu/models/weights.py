@@ -124,9 +124,12 @@ def quantize_params(params: dict, method: str, group_size: int = 128) -> dict:
     if "lm_head" in params:
         w = params["lm_head"]["w"]
         if method == "int8":
-            out["lm_head"] = quant_ops.quantize_int8(w)
+            qh = quant_ops.quantize_int8(w)
         else:
-            out["lm_head"] = quant_ops.quantize_int4(w, min(group_size, w.shape[-1]))
+            qh = quant_ops.quantize_int4(w, min(group_size, w.shape[-1]))
+        # pad vocab rows to a tile-friendly multiple (zero-scale rows);
+        # compute_logits slices back to the real vocab
+        out["lm_head"] = quant_ops.pad_out_rows(qh)
     return out
 
 

@@ -311,6 +311,260 @@ def paged_attention_pallas(
     return out.transpose(0, 3, 1, 2, 4).reshape(B, T, Hq, D)
 
 
+# ---------------------------------------------------------------------------
+# Prefill kernel: long query chunks (one sequence), q-tiled flash attention
+# over the same paged cache. The decode kernel keeps all G*T query rows
+# resident, which caps T; here T is a prefill bucket (128-1024+), so the
+# grid tiles the query dimension and each program streams KV double-
+# buffered up to ITS OWN causal horizon. Unlike decode, prefill chunks are
+# right-padded (num_real < T), so masking is position-based:
+# query row t sits at absolute position kv_len - num_real + t and is only
+# valid for t < num_real.
+# ---------------------------------------------------------------------------
+
+
+def _prefill_kernel(
+    # scalar prefetch
+    bt_ref,  # [1, NBMAX] int32 (SMEM)
+    kvlen_ref,  # [1] int32
+    nreal_ref,  # [1] int32
+    layer_ref,  # [1] int32
+    # inputs
+    q_ref,  # [1, Hkv, G*TQ, D] VMEM (one query tile)
+    k_hbm,  # [NB, BS, Hkv, D] or [L, NB, BS, Hkv, D] (ANY)
+    v_hbm,
+    # outputs
+    out_ref,  # [1, Hkv, G*TQ, D]
+    # scratch
+    kbuf,  # [2, CHUNK_T, Hkv, D]
+    vbuf,
+    sem,  # [2, 2, CHUNK_BLOCKS]
+    *,
+    TQ: int,
+    BS: int,
+    CHUNK_BLOCKS: int,
+    scale: float,
+    kv_scale: float,
+    fp8: bool,
+    full_cache: bool,
+):
+    qt = pl.program_id(0)
+    CHUNK_T = CHUNK_BLOCKS * BS
+    Hkv, GT, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    layer = layer_ref[0]
+    kv_len = kvlen_ref[0]
+    num_real = nreal_ref[0]
+    start = kv_len - num_real  # absolute position of query row 0
+
+    # this tile's causal horizon: last valid row attends up to position
+    # start + last_t inclusive
+    tile_rows = jnp.minimum(num_real - qt * TQ, TQ)  # valid rows in tile
+
+    @pl.when(tile_rows <= 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(tile_rows > 0)
+    def _():
+        horizon = start + qt * TQ + tile_rows  # exclusive col bound
+        num_chunks = pl.cdiv(horizon, CHUNK_T)
+
+        def src(hbm, bid):
+            if full_cache:
+                return hbm.at[layer, bid]
+            return hbm.at[bid]
+
+        def start_load(c, slot):
+            base = c * CHUNK_BLOCKS
+            for i in range(CHUNK_BLOCKS):
+                bid = bt_ref[0, base + i]
+                pltpu.make_async_copy(
+                    src(k_hbm, bid), kbuf.at[slot, pl.ds(i * BS, BS)],
+                    sem.at[slot, 0, i],
+                ).start()
+                pltpu.make_async_copy(
+                    src(v_hbm, bid), vbuf.at[slot, pl.ds(i * BS, BS)],
+                    sem.at[slot, 1, i],
+                ).start()
+
+        def wait_load(c, slot):
+            base = c * CHUNK_BLOCKS
+            for i in range(CHUNK_BLOCKS):
+                bid = bt_ref[0, base + i]
+                pltpu.make_async_copy(
+                    src(k_hbm, bid), kbuf.at[slot, pl.ds(i * BS, BS)],
+                    sem.at[slot, 0, i],
+                ).wait()
+                pltpu.make_async_copy(
+                    src(v_hbm, bid), vbuf.at[slot, pl.ds(i * BS, BS)],
+                    sem.at[slot, 1, i],
+                ).wait()
+
+        start_load(0, 0)
+        q = q_ref[0].astype(jnp.float32)  # [Hkv, GT, D]
+
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (Hkv, GT, CHUNK_T), 1) % TQ
+        col = jax.lax.broadcasted_iota(jnp.int32, (Hkv, GT, CHUNK_T), 2)
+        row_pos = start + qt * TQ + row_t  # absolute query position
+        row_valid = row_t < tile_rows
+
+        def body(c, carry):
+            m, l, acc = carry
+            slot = c % 2
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                start_load(c + 1, (c + 1) % 2)
+
+            wait_load(c, slot)
+            k = kbuf[slot].astype(jnp.float32)  # [CHUNK_T, Hkv, D]
+            v = vbuf[slot].astype(jnp.float32)
+            if fp8:
+                k = k * kv_scale
+                v = v * kv_scale
+
+            s = jnp.stack(
+                [
+                    jax.lax.dot_general(
+                        q[h], k[:, h, :], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for h in range(Hkv)
+                ]
+            ) * scale  # [Hkv, GT, CHUNK_T]
+
+            jg = c * CHUNK_T + col
+            mask = row_valid & (jg <= row_pos) & (jg < kv_len)
+            s = jnp.where(mask, s, NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jnp.stack(
+                [
+                    jax.lax.dot_general(
+                        p[h], v[:, h, :], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for h in range(Hkv)
+                ]
+            )
+            acc_new = acc * alpha + pv
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((Hkv, GT, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((Hkv, GT, 1), jnp.float32)
+        acc0 = jnp.zeros((Hkv, GT, D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, acc0))
+        out = acc / jnp.maximum(l, 1e-30)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+
+_PREFILL_TQ = 128
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "kv_scale", "chunk_blocks")
+)
+def paged_prefill_pallas(
+    q: jax.Array,  # [1, T, Hq, D]
+    k_cache: jax.Array,  # [NB, BS, Hkv, D] or [L, NB, BS, Hkv, D]
+    v_cache: jax.Array,
+    block_table: jax.Array,  # [1, NBMAX] int32
+    kv_len: jax.Array,  # [] or [1] int32 (start + num_real)
+    num_real: jax.Array,  # [] or [1] int32
+    scale: float,
+    kv_scale: float = 1.0,
+    chunk_blocks: int | None = None,
+    layer: jax.Array | None = None,
+) -> jax.Array:
+    _, T, Hq, D = q.shape
+    full_cache = k_cache.ndim == 5
+    NB, BS, Hkv, _ = k_cache.shape[1:] if full_cache else k_cache.shape
+    layer_arr = jnp.asarray(
+        [layer if layer is not None else 0], jnp.int32
+    ).reshape(1)
+    G = Hq // Hkv
+    TQ = min(_PREFILL_TQ, T)
+    fp8 = k_cache.dtype == quant_ops.FP8_DTYPE
+
+    if chunk_blocks is None:
+        chunk_blocks = max(1, 128 // BS)
+    NBMAX = block_table.shape[1]
+    pad_cols = (-NBMAX) % chunk_blocks
+    if pad_cols:
+        block_table = jnp.pad(block_table, ((0, 0), (0, pad_cols)))
+    pad_t = (-T) % TQ
+    if pad_t:
+        q = jnp.pad(q, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+    TP = T + pad_t
+    CHUNK_T = chunk_blocks * BS
+
+    # [1, TP, Hkv, G, D] -> tiles [TP//TQ, Hkv, G, TQ, D] -> [*, Hkv, G*TQ, D]
+    qr = (
+        q.reshape(TP // TQ, TQ, Hkv, G, D)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(TP // TQ, Hkv, G * TQ, D)
+    )
+
+    kernel = functools.partial(
+        _prefill_kernel,
+        TQ=TQ,
+        BS=BS,
+        CHUNK_BLOCKS=chunk_blocks,
+        scale=scale,
+        kv_scale=kv_scale,
+        fp8=fp8,
+        full_cache=full_cache,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(TP // TQ,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, Hkv, G * TQ, D), lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Hkv, G * TQ, D), lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK_T, Hkv, D), k_cache.dtype),
+            pltpu.VMEM((2, CHUNK_T, Hkv, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, chunk_blocks)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((TP // TQ, Hkv, G * TQ, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(
+        block_table,
+        jnp.reshape(kv_len, (1,)).astype(jnp.int32),
+        jnp.reshape(num_real, (1,)).astype(jnp.int32),
+        layer_arr,
+        qr,
+        k_cache,
+        v_cache,
+    )
+
+    # [TP//TQ, Hkv, G*TQ, D] -> [1, TP, Hq, D] -> strip padding
+    out = (
+        out.reshape(TP // TQ, Hkv, G, TQ, D)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(1, TP, Hq, D)
+    )
+    return out[:, :T]
+
+
 # threshold above which we fall back to the XLA path (prefill chunks)
 MAX_KERNEL_QLEN = 16
 
@@ -324,6 +578,14 @@ def paged_attention_dispatch(q, k_cache, v_cache, layer,
     T = q.shape[1]
     # the kernel's block DMAs require lane-aligned head_dim (Mosaic tiling);
     # small-head models (drafts) take the XLA path — they're cheap anyway
+    if T > MAX_KERNEL_QLEN and q.shape[0] == 1 and q.shape[-1] % 128 == 0:
+        # long single-sequence chunk (prefill): q-tiled flash kernel.
+        # num_real is derived in-trace from the position padding.
+        num_real = jnp.sum((meta.positions[0] >= 0).astype(jnp.int32))
+        return paged_prefill_pallas(
+            q, k_cache, v_cache, meta.block_tables, meta.kv_lens[0],
+            num_real, scale, kv_scale, layer=layer,
+        )
     if T > MAX_KERNEL_QLEN or q.shape[-1] % 128 != 0:
         from vllm_omni_draft_tpu.ops.attention import (
             _attention_gathered,

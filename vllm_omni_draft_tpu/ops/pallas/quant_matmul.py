@@ -32,6 +32,23 @@ def _budget_rows(BP: int, I: int, x_itemsize: int, row_bytes: int) -> int:
     return max(128, avail // (2 * row_bytes)) if avail > 0 else 128
 
 
+def _pick_block_o(O: int, cap: int, floor: int = 128) -> int:
+    """Largest block_o <= cap that divides O, in multiples of 128 —
+    block_o is the LANE dimension of the output (and scale) blocks, so
+    Mosaic requires %128 (or the full dim). Grid-step fixed costs dominate
+    at small tiles (the 7B lm_head O=151936=2^7*1187 only divides down to
+    128 -> 1187 grid steps at 66% of bandwidth — pad such O at
+    quantization time, see quantize_int8/int4 pad_out)."""
+    cap = min(cap, O)
+    if cap >= O:
+        return O
+    for d in range(cap - cap % 128, 127, -128):
+        if O % d == 0:
+            return d
+    # no 128-aligned divisor <= cap: smallest legal lane block
+    return min(128, O)
+
+
 def _int8_kernel(x_ref, w_ref, s_ref, o_ref):
     # x [BP, I]; w [O_T, I] int8; s [O_T, 1] f32; o [BP, O_T]
     x = x_ref[...]
@@ -56,9 +73,8 @@ def matmul_int8_pallas(
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
     # double-buffered weight tiles + the resident x must fit VMEM
     budget_rows = _budget_rows(BP, I, x.dtype.itemsize, row_bytes=I)
-    block_o = min(block_o, O, 1 << (budget_rows.bit_length() - 1))
-    while O % block_o:  # e.g. vocab 151936 = 2^7 * 1187
-        block_o //= 2
+    # budget_rows is the VMEM-derived cap; the block_o param only lowers it
+    block_o = _pick_block_o(O, min(budget_rows, block_o) if block_o < 512 else budget_rows)
 
     out = pl.pallas_call(
         _int8_kernel,
@@ -123,9 +139,8 @@ def _stacked_call(kernel, x, w_stacked, extra_specs, extra_args, layer,
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
     row_bytes = w_stacked.shape[2] * itemsize
     budget_rows = _budget_rows(BP, I, x.dtype.itemsize, row_bytes)
-    block_o = min(block_o, O, 1 << (budget_rows.bit_length() - 1))
-    while O % block_o:
-        block_o //= 2
+    # budget_rows is the VMEM-derived cap; the block_o param only lowers it
+    block_o = _pick_block_o(O, min(budget_rows, block_o) if block_o < 512 else budget_rows)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -219,10 +234,8 @@ def matmul_int4_stacked_pallas(
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
     st = jnp.take(s, layer, axis=0).T.astype(jnp.float32)  # [G, O]
     budget_rows = _budget_rows(BP, I, x.dtype.itemsize, row_bytes=I // 2)
-    cap = 1 << (budget_rows.bit_length() - 1)
-    block_o = max(128, min(block_o, O, cap))
-    while O % block_o:
-        block_o //= 2
+    # budget_rows is the VMEM-derived cap; the block_o param only lowers it
+    block_o = _pick_block_o(O, min(budget_rows, block_o) if block_o < 512 else budget_rows)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -335,10 +348,8 @@ def matmul_int4_pallas(
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
     # budget/row: packed I/2 bytes double-buffered, plus resident x
     budget_rows = _budget_rows(BP, I, x.dtype.itemsize, row_bytes=I // 2)
-    cap = 1 << (budget_rows.bit_length() - 1)
-    block_o = max(128, min(block_o, O, cap))
-    while O % block_o:
-        block_o //= 2
+    # budget_rows is the VMEM-derived cap; the block_o param only lowers it
+    block_o = _pick_block_o(O, min(budget_rows, block_o) if block_o < 512 else budget_rows)
 
     out = pl.pallas_call(
         functools.partial(_int4_kernel, group_size=group_size),

@@ -71,6 +71,27 @@ def quantize_int4(w: jax.Array, group_size: int = 128) -> dict:
     return {"w": packed, "s": s.reshape(O, I // group_size)}
 
 
+def pad_out_rows(w: dict, multiple: int = 512) -> dict:
+    """Pad a quantized weight's output rows to `multiple` with zero-scale
+    rows (dequantized value exactly 0). Odd output counts (the 7B vocab
+    151936 = 2^7*1187) otherwise force the Pallas matmul grid down to
+    128-row tiles — 1187 grid steps whose fixed costs cost ~35% of the
+    lm_head's bandwidth. Consumers must slice the padded columns off the
+    result (compute_logits does)."""
+    if weight_kind(w) == "dense":
+        return w
+    O = w["w"].shape[0]
+    pad = (-O) % multiple
+    if pad == 0:
+        return w
+    out = dict(w)
+    out["w"] = jnp.pad(w["w"], ((0, pad), (0, 0)))
+    out["s"] = jnp.pad(w["s"], ((0, pad), (0, 0)))
+    if "b" in w:
+        out["b"] = jnp.pad(w["b"], ((0, pad),))
+    return out
+
+
 def unpack_int4(packed: jax.Array) -> jax.Array:
     """[O, I//2] uint8 -> [O, I] int8 in [-8, 7] (split-half layout)."""
     lo = (packed & 0xF).astype(jnp.int8) - 8
