@@ -373,3 +373,112 @@ def test_async_encode(hf_checkpoint):
     out = asyncio.run(run())
     allm.shutdown()
     assert out.data.shape == (TINY_HF["hidden_size"],)
+
+
+# ---------------------------------------------------------------------------
+# lag-1 decode streak (async scheduling)
+# ---------------------------------------------------------------------------
+
+
+def _gen_tokens(path, prompts, sps, *, streak, spec=None, decode_steps=1,
+                max_tokens_budget=64):
+    cfg = _config(path, speculative=spec,
+                  max_num_batched_tokens=max(
+                      max_tokens_budget,
+                      4 * decode_steps
+                      * (1 + (spec.num_speculative_tokens if spec else 0)),
+                  ))
+    cfg.scheduler.decode_steps = decode_steps
+    cfg.scheduler.async_decode_streak = streak
+    llm = LLM(cfg)
+    outs = llm.generate(prompts, sps)
+    return [o.outputs[0].token_ids for o in outs], llm
+
+
+@pytest.mark.parametrize("decode_steps", [1, 4])
+def test_streak_greedy_identical_to_sync(hf_checkpoint, decode_steps):
+    """Lag-1 streak must emit token-for-token what the synchronous path
+    emits (a streak of S steps == one fused S*M decode)."""
+    path, hf = hf_checkpoint
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, 100, size=n).tolist() for n in (5, 11, 8)]
+    sps = [GREEDY(17)] * 3
+    got_on, llm_on = _gen_tokens(path, prompts, sps, streak=True,
+                                 decode_steps=decode_steps)
+    got_off, _ = _gen_tokens(path, prompts, sps, streak=False,
+                             decode_steps=decode_steps)
+    assert got_on == got_off
+    for p, toks in zip(prompts, got_on):
+        assert toks == _hf_greedy(hf, p, 17), p
+    # the streak actually engaged (pending state was used at least once)
+    assert llm_on.engine.config.scheduler.async_decode_streak
+
+
+def test_streak_sampled_identical_to_sync(hf_checkpoint):
+    path, _ = hf_checkpoint
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(1, 100, size=n).tolist() for n in (6, 9)]
+    sps = [SamplingParams(max_tokens=15, temperature=0.9, top_p=0.95,
+                          ignore_eos=True)] * 2
+    got_on, _ = _gen_tokens(path, prompts, sps, streak=True, decode_steps=2)
+    got_off, _ = _gen_tokens(path, prompts, sps, streak=False, decode_steps=2)
+    assert got_on == got_off
+
+
+def test_streak_spec_greedy_lossless(hf_checkpoint, tmp_path_factory):
+    """Streak + spec decode: still exactly lossless vs HF greedy."""
+    path, hf = hf_checkpoint
+    draft_path = _draft_checkpoint(tmp_path_factory, seed=31)
+    spec = SpeculativeConfig(
+        draft_model=ModelConfig.from_hf_config(draft_path, dtype="float32",
+                                               max_model_len=128),
+        num_speculative_tokens=2,
+    )
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(1, 100, size=n).tolist() for n in (7, 12)]
+    sps = [GREEDY(14)] * 2
+    got, _ = _gen_tokens(path, prompts, sps, streak=True, spec=spec,
+                         decode_steps=2)
+    for p, toks in zip(prompts, got):
+        assert toks == _hf_greedy(hf, p, 14), p
+
+
+def test_streak_breaks_for_admission(hf_checkpoint):
+    """A request added mid-streak must still get scheduled (the streak
+    yields to the waiting queue) and produce correct output."""
+    path, hf = hf_checkpoint
+    cfg = _config(path)
+    cfg.scheduler.decode_steps = 2
+    llm = LLM(cfg)
+    eng = llm.engine
+    rng = np.random.default_rng(23)
+    p1 = rng.integers(1, 100, size=6).tolist()
+    p2 = rng.integers(1, 100, size=9).tolist()
+    from vllm_omni_draft_tpu.core.request import Request
+
+    r1 = Request("r1", p1, GREEDY(20))
+    eng.add_request(r1)
+    # run a few steps so a streak is in flight, then add the second request
+    for _ in range(4):
+        eng.step()
+    r2 = Request("r2", p2, GREEDY(10))
+    eng.add_request(r2)
+    while eng.has_unfinished():
+        eng.step()
+    assert r1.output_token_ids == _hf_greedy(hf, p1, 20)
+    assert r2.output_token_ids == _hf_greedy(hf, p2, 10)
+
+
+def test_streak_stop_token_truncates(hf_checkpoint):
+    """EOS inside an in-flight streak step: output truncated at the stop
+    token even though the device ran past it."""
+    path, hf = hf_checkpoint
+    ref = _hf_greedy(hf, [5, 17, 42, 9, 33], 24)
+    stop = ref[9]
+    cfg = _config(path)
+    cfg.scheduler.decode_steps = 4
+    llm = LLM(cfg)
+    sp = SamplingParams(max_tokens=24, temperature=0.0, stop_token_ids=[stop])
+    out = llm.generate([[5, 17, 42, 9, 33]], [sp])[0]
+    toks = out.outputs[0].token_ids
+    assert toks == ref[: ref.index(stop) + 1]

@@ -164,6 +164,13 @@ class SchedulerConfig:
     # flight — the host schedules/dispatches batch N+1 while batch N's
     # device step runs (lag-1 readback; also the PP-stage hook)
     max_concurrent_batches: int = 1
+    # lag-1 decode pipelining: dispatch decode step N+1 from step N's
+    # DEVICE-side tokens/lens before reading step N back (vLLM's async
+    # scheduling, SURVEY §2.2 EngineCore). Token streams are identical to
+    # the synchronous path (same fns, same RNG folds); saves one host
+    # sync (~30 ms tunneled) per decode step. Applies to the plain step()
+    # loop; structured/logprobs batches fall back to synchronous.
+    async_decode_streak: bool = True
 
     def __post_init__(self):
         self.prefill_buckets = tuple(sorted(set(self.prefill_buckets)))

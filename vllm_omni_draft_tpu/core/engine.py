@@ -57,6 +57,9 @@ class EngineCore:
             if self.max_concurrent_batches > 1
             else self.step
         )
+        # lag-1 decode streak state: (sched, PendingStep) of the one
+        # dispatched-but-unresolved decode step (async_decode_streak)
+        self._pending: tuple | None = None
 
     def add_request(self, request: Request) -> None:
         if request.sampling_params.grammar is not None:
@@ -74,8 +77,35 @@ class EngineCore:
 
     def step(self) -> list[Request]:
         """One engine iteration. Returns requests that got new tokens
-        (finished ones included; their status is already final)."""
+        (finished ones included; their status is already final).
+
+        Lag-1 decode streak (async_decode_streak): when the previous step
+        was decode-only and the same request set can keep decoding, the
+        NEXT decode step is dispatched from the previous step's
+        device-side tokens/lens BEFORE the previous step is read back —
+        the host sync (engine step N resolve) overlaps device step N+1.
+        Token streams are identical to the synchronous path: a streak of
+        S steps computes exactly what one fused S*M-iteration decode
+        would."""
         t0 = time.perf_counter()
+        if self._pending is not None:
+            psched, ppending = self._pending
+            csched = self._streak_continuation(psched)
+            if csched is not None:
+                try:
+                    npending = self.runner.dispatch(csched, feed=ppending.feed)
+                except Exception as e:
+                    self._pending = None
+                    ppending.resolve()
+                    if self.executor_fail_callback is not None:
+                        self.executor_fail_callback(e)
+                    raise
+                self._pending = (csched, npending)
+            else:
+                self._pending = None
+            runner_out = ppending.resolve()
+            return self._apply_output(psched, runner_out, t0)
+
         sched = self.scheduler.schedule()
         if sched.is_empty:
             return []
@@ -85,12 +115,69 @@ class EngineCore:
             if req is not None:
                 self.runner.release_slot(req)
         try:
-            runner_out = self.runner.execute(sched)
+            pending = self.runner.dispatch(sched)
         except Exception as e:
             if self.executor_fail_callback is not None:
                 self.executor_fail_callback(e)
             raise
+        if (
+            self.config.scheduler.async_decode_streak
+            and pending.feed is not None
+            and self._streak_continuation(sched) is not None
+        ):
+            # defer the read-back: next step() resolves this one after
+            # dispatching its continuation
+            self._pending = (sched, pending)
+            return []
+        runner_out = pending.resolve()
         return self._apply_output(sched, runner_out, t0)
+
+    def _streak_continuation(self, psched):
+        """Decide whether the request set of `psched` (a decode-only step,
+        possibly still unresolved) can keep decoding for another fused
+        step, and pre-allocate the worst-case KV blocks if so. Returns the
+        continuation SchedulerOutput or None (→ resolve and fall back to
+        normal scheduling). Conservative: any admission pressure, abort,
+        possible finish, grammar/logprobs row, or allocation failure
+        breaks the streak."""
+        if not self.config.scheduler.async_decode_streak:
+            return None
+        s = self.scheduler
+        if s.waiting or psched.prefills or not psched.decodes:
+            return None
+        k = s.num_spec_tokens
+        need = s.config.decode_steps * (1 + k)
+        from vllm_omni_draft_tpu.core.request import RequestStatus
+
+        for req in psched.decodes:
+            sp = req.sampling_params
+            if (
+                req.status != RequestStatus.RUNNING
+                or req.is_finished
+                or sp.grammar is not None
+                or sp.logprobs is not None
+            ):
+                return None
+            # the unresolved step may emit up to `need` tokens; the
+            # continuation is only useful (and its KV writes only legal)
+            # with headroom for both
+            if len(req.output_token_ids) + need >= sp.max_tokens:
+                return None
+            if req.num_tokens + 2 * need > s.config.max_model_len:
+                return None
+        for req in psched.decodes:
+            # worst case past num_computed: the pending last token (+1),
+            # the unresolved step (`need`), this continuation (`need`)
+            if s.kv.allocate_slots(req, 2 * need + 1) is None:
+                return None
+        from vllm_omni_draft_tpu.core.scheduler import SchedulerOutput
+
+        return SchedulerOutput(
+            prefills=[],
+            decodes=list(psched.decodes),
+            preempted_ids=[],
+            num_spec_tokens=k,
+        )
 
     def step_with_batch_queue(self) -> list[Request]:
         """Pipelined step variant (reference: `step_with_batch_queue`,

@@ -70,12 +70,17 @@ def _build_params(cfg: ModelConfig):
 class PendingStep:
     """Handle for a dispatched-but-unresolved device step (batch-queue
     mode, `engine_core.md:97, 124-126`): holds the closure that blocks on
-    the device arrays and applies host-side slot bookkeeping."""
+    the device arrays and applies host-side slot bookkeeping. `feed` is
+    the device-side (last_tokens, prev_tokens, seq_lens) after this step
+    — present only for plain/greedy/spec decode-only steps — which a
+    continuation decode step can consume WITHOUT a host sync (lag-1
+    decode streak)."""
 
-    __slots__ = ("_resolve",)
+    __slots__ = ("_resolve", "feed")
 
-    def __init__(self, resolve_fn):
+    def __init__(self, resolve_fn, feed=None):
         self._resolve = resolve_fn
+        self.feed = feed
 
     def resolve(self) -> RunnerOutput:
         return self._resolve()
@@ -356,7 +361,9 @@ class ModelRunner:
 
         def decode(params, kv, last_tokens, seq_lens, block_tables,
                    temps, top_ks, top_ps, key):
-            """M fused decode iterations, device-side token feedback."""
+            """M fused decode iterations, device-side token feedback.
+            Also returns the post-step (last, prev, lens) device feed for
+            lag-1 continuation dispatch (no host sync between steps)."""
 
             def body(carry, i):
                 kv, cur, lens = carry
@@ -367,10 +374,11 @@ class ModelRunner:
                                              block_tables, pick)
                 return (kv, tok, lens), tok
 
-            (kv, _, _), toks = jax.lax.scan(
+            (kv, last, lens), toks = jax.lax.scan(
                 body, (kv, last_tokens, seq_lens), jnp.arange(M, dtype=jnp.int32)
             )
-            return toks.T, kv  # [B, M]
+            prev = toks[M - 2] if M >= 2 else last_tokens
+            return toks.T, kv, (last, prev, lens)  # [B, M]
 
         self._decode_fn = jit(decode, donate_argnums=(1,))
 
@@ -384,10 +392,11 @@ class ModelRunner:
                                              block_tables, pick)
                 return (kv, tok, lens), tok
 
-            (kv, _, _), toks = jax.lax.scan(
+            (kv, last, lens), toks = jax.lax.scan(
                 body, (kv, last_tokens, seq_lens), jnp.arange(M, dtype=jnp.int32)
             )
-            return toks.T, kv
+            prev = toks[M - 2] if M >= 2 else last_tokens
+            return toks.T, kv, (last, prev, lens)
 
         self._decode_greedy_fn = jit(decode_greedy, donate_argnums=(1,))
 
@@ -586,11 +595,14 @@ class ModelRunner:
                     return (kv_t, kv_d, prev_new, last_new, lens_new), (out, n)
 
                 carry = (kv_t, kv_d, prev_tokens, last_tokens, seq_lens)
-                (kv_t, kv_d, _, _, _), (outs, ns) = jax.lax.scan(
+                (kv_t, kv_d, prev, last, lens), (outs, ns) = jax.lax.scan(
                     body, carry, jnp.arange(M, dtype=jnp.int32)
                 )
                 # outs [M, B, K+1] -> [B, M, K+1]; ns [M, B] -> [B, M]
-                return jnp.swapaxes(outs, 0, 1), ns.T, kv_t, kv_d
+                return (
+                    jnp.swapaxes(outs, 0, 1), ns.T, kv_t, kv_d,
+                    (last, prev, lens),
+                )
 
             return fn
 
@@ -701,14 +713,20 @@ class ModelRunner:
     def execute(self, sched: SchedulerOutput) -> RunnerOutput:
         return self.dispatch(sched).resolve()
 
-    def dispatch(self, sched: SchedulerOutput) -> "PendingStep":
+    def dispatch(self, sched: SchedulerOutput, feed=None) -> "PendingStep":
         """Enqueue this step's device work and return a PendingStep whose
         .resolve() blocks on the results and finishes host bookkeeping.
         JAX dispatch is async, so between dispatch and resolve the host is
         free to schedule/dispatch ANOTHER (slot-disjoint) batch — the
         batch-queue overlap of `engine_core.md:97, 124-126` (PP hook /
         lag-1 readback). Prefill sampling stays synchronous (its token
-        feeds the request's own decode state immediately)."""
+        feeds the request's own decode state immediately).
+
+        `feed`: device-side (last_tokens, prev_tokens, seq_lens) from the
+        previous step's PendingStep — a decode-only continuation batch
+        over the SAME slot set can dispatch from it without syncing the
+        previous step back to the host (lag-1 decode streak). The caller
+        (EngineCore) guarantees set equality and block headroom."""
         t0 = time.perf_counter()
         out = RunnerOutput(new_tokens={})
         self.step_count += 1
@@ -812,6 +830,7 @@ class ModelRunner:
             all_greedy = all(
                 req.sampling_params.is_greedy for req in sched.decodes
             )
+            out_feed = None
             # grammar-constrained rows force the masked single-step path
             structured = getattr(self, "structured", None)
             allowed_lists = (
@@ -826,11 +845,17 @@ class ModelRunner:
             any_logprobs = any(
                 req.sampling_params.logprobs is not None for req in sched.decodes
             )
-            base_args = (
-                jnp.asarray(self.last_tokens),
-                seq_lens,
-                jnp.asarray(self.block_tables),
-            )
+            if feed is not None:
+                # lag-1 continuation: tokens/lens live on device, unread
+                feed_last, feed_prev, feed_lens = feed
+                base_args = (feed_last, feed_lens, jnp.asarray(self.block_tables))
+            else:
+                feed_prev = None
+                base_args = (
+                    jnp.asarray(self.last_tokens),
+                    seq_lens,
+                    jnp.asarray(self.block_tables),
+                )
             sample_args = (
                 jnp.asarray(self.temps),
                 jnp.asarray(self.top_ks),
@@ -895,16 +920,23 @@ class ModelRunner:
                         self.seq_lens[req.slot] += len(emitted)
 
             elif self.K > 0 and self.kv_d is not None:
+                prev_arg = (
+                    feed_prev if feed_prev is not None
+                    else jnp.asarray(self.prev_tokens)
+                )
                 if all_greedy:
-                    toks, num_emitted, self.kv_t, self.kv_d = self._spec_greedy_fn(
-                        self.target_params, self.draft_params, self.kv_t,
-                        self.kv_d, jnp.asarray(self.prev_tokens), *base_args
+                    toks, num_emitted, self.kv_t, self.kv_d, out_feed = (
+                        self._spec_greedy_fn(
+                            self.target_params, self.draft_params, self.kv_t,
+                            self.kv_d, prev_arg, *base_args
+                        )
                     )
                 else:
-                    toks, num_emitted, self.kv_t, self.kv_d = self._spec_fn(
-                        self.target_params, self.draft_params, self.kv_t,
-                        self.kv_d, jnp.asarray(self.prev_tokens), *base_args,
-                        *sample_args
+                    toks, num_emitted, self.kv_t, self.kv_d, out_feed = (
+                        self._spec_fn(
+                            self.target_params, self.draft_params, self.kv_t,
+                            self.kv_d, prev_arg, *base_args, *sample_args
+                        )
                     )
 
                 def finish(toks=toks, num_emitted=num_emitted):
@@ -927,11 +959,11 @@ class ModelRunner:
 
             else:
                 if all_greedy:
-                    toks, self.kv_t = self._decode_greedy_fn(
+                    toks, self.kv_t, out_feed = self._decode_greedy_fn(
                         self.target_params, self.kv_t, *base_args
                     )
                 else:
-                    toks, self.kv_t = self._decode_fn(
+                    toks, self.kv_t, out_feed = self._decode_fn(
                         self.target_params, self.kv_t, *base_args, *sample_args
                     )
 
@@ -947,6 +979,7 @@ class ModelRunner:
 
         else:
             finish = None
+            out_feed = None
 
         def resolve():
             if finish is not None:
@@ -954,4 +987,8 @@ class ModelRunner:
             self.last_step_time = time.perf_counter() - t0
             return out
 
-        return PendingStep(resolve)
+        # a device feed is only valid for a same-set decode continuation;
+        # mixed prefill+decode batches change the set next step
+        return PendingStep(
+            resolve, feed=out_feed if not sched.prefills else None
+        )
