@@ -41,7 +41,8 @@ def main():
     layers = int(os.environ.get("VOT_BENCH_LAYERS", "28"))
     B = int(os.environ.get("VOT_BENCH_BATCH", "32"))
     steps = int(os.environ.get("VOT_BENCH_STEPS", "20"))
-    quant = os.environ.get("VOT_BENCH_QUANT", "int8")
+    # int4 is the BASELINE ladder's named headline config (Qwen2.5-7B INT4)
+    quant = os.environ.get("VOT_BENCH_QUANT", "int4")
     quant = None if quant in ("none", "") else quant
     spec_mode = os.environ.get("VOT_BENCH_SPEC", "0")  # 0 | 1 | oracle
     use_spec = spec_mode in ("1", "oracle")

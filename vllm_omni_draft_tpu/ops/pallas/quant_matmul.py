@@ -24,12 +24,16 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _budget_rows(BP: int, I: int, x_itemsize: int, row_bytes: int) -> int:
-    """Weight-tile rows that fit VMEM next to the resident x and the
-    (double-buffered) output tile: 2 weight buffers of `row_bytes` each."""
+def _budget_rows(
+    BP: int, I: int, x_itemsize: int, row_bytes: int, extra_row_bytes: int = 0
+) -> int:
+    """Weight-tile rows that fit VMEM next to the resident x: 2 (double-
+    buffered) weight buffers of `row_bytes` each, plus `extra_row_bytes`
+    of other grid-indexed per-output-row tiles (scales, output)."""
     x_bytes = BP * I * x_itemsize
     avail = _VMEM_BUDGET - x_bytes
-    return max(128, avail // (2 * row_bytes)) if avail > 0 else 128
+    per_row = 2 * (row_bytes + extra_row_bytes)
+    return max(128, avail // per_row) if avail > 0 else 128
 
 
 def _pick_block_o(O: int, cap: int, floor: int = 128) -> int:
@@ -233,7 +237,13 @@ def matmul_int4_stacked_pallas(
     if BP != B:
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
     st = jnp.take(s, layer, axis=0).T.astype(jnp.float32)  # [G, O]
-    budget_rows = _budget_rows(BP, I, x.dtype.itemsize, row_bytes=I // 2)
+    xsum, Gp = _group_sums(x, group_size, G)
+    if Gp != G:
+        st = jnp.pad(st, ((0, Gp - G), (0, 0)))
+    budget_rows = _budget_rows(
+        BP, I, x.dtype.itemsize, row_bytes=I // 2,
+        extra_row_bytes=Gp * 4 + BP * x.dtype.itemsize,  # st + out tiles
+    )
     # budget_rows is the VMEM-derived cap; the block_o param only lowers it
     block_o = _pick_block_o(O, min(budget_rows, block_o) if block_o < 512 else budget_rows)
 
@@ -245,7 +255,9 @@ def matmul_int4_stacked_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_o, I // 2), lambda i, l: (l[0], i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, block_o), lambda i, l: (0, i),
+            pl.BlockSpec((Gp, block_o), lambda i, l: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BP, Gp), lambda i, l: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BP, block_o), lambda i, l: (0, i),
@@ -261,30 +273,35 @@ def matmul_int4_stacked_pallas(
             + BP * O * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(jnp.reshape(layer, (1,)).astype(jnp.int32), x, packed, st)
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32), x, packed, st, xsum)
     return out[:B]
 
 
-def _int4_body(x_ref, w_slice, st_ref, o_ref, group_size: int):
+def _int4_body(x_ref, w_slice, st_ref, xsum_ref, o_ref, group_size: int):
     """x [BP, I]; w_slice [O_T, I//2] uint8 split-half (ref or loaded
-    value); st [G, O_T] f32 (scales transposed so one group's scales are
-    one lane-contiguous row).
+    value); st [Gp, O_T] f32 (scales transposed so one group's scales are
+    one lane-contiguous row; zero-padded to Gp rows); xsum [BP, Gp] f32
+    per-group row sums of x, PRECOMPUTED OUTSIDE the kernel.
 
     No reshapes (Mosaic rejects every group-scale reshape/broadcast at 7B
     group counts — PERF_NOTES.md): each group is a STATIC slice, contracted
     on the MXU separately, and scaled post-dot on the [BP, O_T] partial —
     O(BP*O_T) VPU work per group instead of O(O_T*group_size).
 
-    The int4 zero-point (stored unsigned, value = u - 8) folds into a
-    rank-1 correction instead of a per-element subtract:
-        y[b,o] = sum_g s[o,g] * (sum_i x[b,i]*u[o,i] - 8 * sum_i x[b,i])
-    so unpacking a nibble costs only mask/shift + cast."""
+    The int4 zero-point (stored unsigned, value = u - 8) folds into ONE
+    extra MXU dot instead of per-group subtracts:
+        y[b,o] = sum_g s[o,g] * t_g[b,o] - 8 * (xsum @ st)[b,o]
+    where t_g is the unsigned-nibble partial. Passing xsum in (an
+    O(BP*I) reduction XLA fuses upstream for free) keeps every in-kernel
+    op on int/bf16 tiles — computing it here made Mosaic materialize an
+    f32 copy of x, which both cost VPU time and capped BP at 160 rows
+    of VMEM (PERF_NOTES.md)."""
     half = w_slice.shape[1]
     C = half // group_size  # chunks of packed columns == groups per half
     dt = x_ref.dtype
 
     x_all = x_ref[...]
-    s_all = st_ref[...]  # [G, O_T]
+    s_all = st_ref[...]  # [Gp, O_T]
     acc = jnp.zeros(o_ref.shape, jnp.float32)
     for c in range(C):
         sl = slice(c * group_size, (c + 1) * group_size)
@@ -298,26 +315,44 @@ def _int4_body(x_ref, w_slice, st_ref, o_ref, group_size: int):
                 xs, vals.astype(dt), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [BP, O_T]
-            xsum = jnp.sum(xs.astype(jnp.float32), axis=1, keepdims=True)
-            acc += (t - 8.0 * xsum) * s_all[g][None, :]
-    o_ref[...] = acc.astype(o_ref.dtype)
+            acc += t * s_all[g][None, :]
+    corr = jax.lax.dot_general(
+        xsum_ref[...], s_all, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BP, O_T]; padded rows/cols of st/xsum are zero
+    o_ref[...] = (acc - 8.0 * corr).astype(o_ref.dtype)
 
 
-def _int4_kernel_stacked(l_ref, x_ref, w_ref, st_ref, o_ref, *,
+def _int4_kernel_stacked(l_ref, x_ref, w_ref, st_ref, xsum_ref, o_ref, *,
                          group_size: int):
-    _int4_body(x_ref, w_ref[0], st_ref, o_ref, group_size)
+    _int4_body(x_ref, w_ref[0], st_ref, xsum_ref, o_ref, group_size)
 
 
-def _int4_kernel(x_ref, w_ref, st_ref, o_ref, *, group_size: int):
-    _int4_body(x_ref, w_ref, st_ref, o_ref, group_size)
+def _int4_kernel(x_ref, w_ref, st_ref, xsum_ref, o_ref, *, group_size: int):
+    _int4_body(x_ref, w_ref, st_ref, xsum_ref, o_ref, group_size)
 
 
-# activations wider than this take the XLA fallback. 160 rows covers the
-# spec-verify batch (B*(K+1) = 32*5); the x-aware VMEM budget
-# (_budget_rows) shrinks the weight tile to compensate. Wider OOMs scoped
-# VMEM at I=18944 (Mosaic materializes an f32 copy of x for the rank-1
-# zero-point row sums — measured 24.7M > 16M at 256 rows).
-_INT4_MAX_BP = 160
+def _group_sums(x: jax.Array, group_size: int, G: int):
+    """Per-group row sums of x in COLUMN-BLOCK order (== the scale row
+    order of quantize_int4: low-half groups 0..G/2-1, high-half G/2..G-1),
+    zero-padded on the group axis to a lane multiple so the in-kernel
+    correction dot never touches uninitialized lanes."""
+    BP, I = x.shape
+    xs = jnp.sum(
+        x.astype(jnp.float32).reshape(BP, I // group_size, group_size), axis=-1
+    )
+    Gp = -(-G // 128) * 128
+    if Gp != G:
+        xs = jnp.pad(xs, ((0, 0), (0, Gp - G)))
+    return xs, Gp
+
+
+# activations wider than this take the XLA fallback. 256 rows covers the
+# spec-verify batch (B*(K+1) = 32*5 = 160) and B=64..256 plain decode;
+# the x-aware VMEM budget (_budget_rows) shrinks the weight tile to
+# compensate. The old 160 cap came from Mosaic materializing an f32 copy
+# of x for in-kernel zero-point row sums — lifted by passing xsum in.
+_INT4_MAX_BP = 256
 
 
 @functools.partial(jax.jit, static_argnames=("block_o",))
@@ -346,8 +381,15 @@ def matmul_int4_pallas(
         return x @ w.T
     if BP != B:
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
+    st = s.T.astype(jnp.float32)  # [G, O]
+    xsum, Gp = _group_sums(x, group_size, G)
+    if Gp != G:
+        st = jnp.pad(st, ((0, Gp - G), (0, 0)))
     # budget/row: packed I/2 bytes double-buffered, plus resident x
-    budget_rows = _budget_rows(BP, I, x.dtype.itemsize, row_bytes=I // 2)
+    budget_rows = _budget_rows(
+        BP, I, x.dtype.itemsize, row_bytes=I // 2,
+        extra_row_bytes=Gp * 4 + BP * x.dtype.itemsize,  # st + out tiles
+    )
     # budget_rows is the VMEM-derived cap; the block_o param only lowers it
     block_o = _pick_block_o(O, min(budget_rows, block_o) if block_o < 512 else budget_rows)
 
@@ -358,7 +400,9 @@ def matmul_int4_pallas(
             pl.BlockSpec((BP, I), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_o, I // 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, block_o), lambda i: (0, i),
+            pl.BlockSpec((Gp, block_o), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BP, Gp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BP, block_o), lambda i: (0, i),
@@ -370,5 +414,5 @@ def matmul_int4_pallas(
             + BP * O * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(x, packed, s.T.astype(jnp.float32))
+    )(x, packed, st, xsum)
     return out[:B]
