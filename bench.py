@@ -65,29 +65,8 @@ def main():
         kv_cache_dtype=kv_dtype,
     )
     spec = None
-    if spec_mode == "oracle":
-        # acceptance-controlled machinery benchmark: the draft is the
-        # target's first layers/4 layers (shared weights) and the target's
-        # later layers are zeroed out (identity residuals) after engine
-        # build, so draft logits == target logits exactly -> acceptance 1.0.
-        # This measures the spec-decode machinery's speedup ceiling with
-        # REAL relative draft/target costs; real-weight acceptance rates
-        # land between this and the 0%-acceptance floor (VOT_BENCH_SPEC=1
-        # with an unrelated random draft).
-        draft = ModelConfig(
-            vocab_size=151_936,
-            hidden_size=3584,
-            intermediate_size=18944,
-            num_layers=max(layers // 4, 1),
-            num_heads=28,
-            num_kv_heads=4,
-            head_dim=128,
-            max_model_len=max_model_len,
-            dtype="bfloat16",
-            quantization=quant,
-        )
-        spec = SpeculativeConfig(draft_model=draft, num_speculative_tokens=4)
-    elif use_spec:
+    if use_spec:
+        # Qwen2.5-0.5B-shaped draft (the BASELINE ladder's draft class).
         draft = ModelConfig(
             vocab_size=151_936,
             hidden_size=896,
@@ -101,7 +80,9 @@ def main():
         )
         dv = int(os.environ.get("VOT_BENCH_DRAFT_VOCAB", "0")) or None
         spec = SpeculativeConfig(
-            draft_model=draft, num_speculative_tokens=4, draft_vocab_size=dv
+            draft_model=draft,
+            num_speculative_tokens=int(os.environ.get("VOT_BENCH_SPEC_K", "4")),
+            draft_vocab_size=dv,
         )
 
     M = int(os.environ.get("VOT_BENCH_DECODE_STEPS", "8"))
@@ -130,39 +111,67 @@ def main():
         f"spec={spec_mode}")
 
     if spec_mode == "oracle":
+        # Acceptance-controlled machinery benchmark with REAL draft/verify
+        # compute+bandwidth costs. Construction: zero the o/down
+        # projections of EVERY layer in BOTH models (identity residual
+        # stream -- QKV, attention, gate/up still execute at full cost and
+        # the KV cache is still written/read) and tie each model's lm_head
+        # to its own embedding table. Hidden state == RMSNorm(embed(last))
+        # so argmax == last token with an O(sqrt(D)) margin that bf16
+        # kernel-path noise cannot flip: the draft and target both
+        # deterministically propose "repeat", so greedy acceptance is 1.0
+        # BY CONSTRUCTION (a shared-prefix-weights oracle is argmax-tie
+        # fragile with random synthetic weights). Real-weight acceptance
+        # lands between this ceiling and the 0%-floor (VOT_BENCH_SPEC=1,
+        # unrelated random draft).
         import jax
         import jax.numpy as jnp
-
-        runner = engine.runner
-        Ld = spec.draft_model.num_layers
-
         from functools import partial
 
+        from vllm_omni_draft_tpu.ops import quant as quant_ops
+
+        runner = engine.runner
+
         @partial(jax.jit, donate_argnums=0)
-        def zero_late(params):
+        def identity_layers(params):
             lyr = dict(params["layers"])
             for name in ("o", "down"):
                 d = dict(lyr[name])
-                key = "s" if "s" in d else "w"
-                d[key] = d[key].at[Ld:].set(
-                    jnp.zeros_like(d[key][Ld:])
-                )
+                k = "s" if "s" in d else "w"
+                d[k] = jnp.zeros_like(d[k])
                 lyr[name] = d
             return {**params, "layers": lyr}
 
-        runner.target_params = zero_late(runner.target_params)
-
         @jax.jit
-        def make_draft(params):
-            lyr = jax.tree.map(lambda a: a[:Ld], params["layers"])
-            return {**params, "layers": lyr}
+        def tied_head(embed):
+            if quant == "int4":
+                return quant_ops.pad_out_rows(quant_ops.quantize_int4(embed))
+            if quant == "int8":
+                return quant_ops.pad_out_rows(quant_ops.quantize_int8(embed))
+            return {"w": embed}
 
-        runner.draft_params = make_draft(runner.target_params)
+        runner.target_params = identity_layers(runner.target_params)
+        runner.target_params["lm_head"] = tied_head(
+            runner.target_params["embed"]
+        )
+        runner.draft_params = identity_layers(runner.draft_params)
+        dhead = {"w": runner.draft_params["embed"]}
+        if runner.draft_vocab:
+            dhead = {"w": dhead["w"][: runner.draft_vocab]}
+        runner.draft_params["lm_head"] = dhead
         jax.block_until_ready(runner.draft_params)
-        log(f"oracle spec: draft = first {Ld} target layers (shared), "
-            f"target layers >= {Ld} zeroed")
+        log("oracle spec: identity residuals + embedding-tied heads "
+            "(acceptance 1.0 by construction)")
 
     rng = np.random.default_rng(0)
+    # oracle + pruned draft vocab: proposals repeat prompt tokens, so the
+    # ids must be proposable (inside the pruned prefix) to keep
+    # acceptance at the 1.0 ceiling
+    tok_hi = (
+        spec.draft_vocab_size
+        if (spec_mode == "oracle" and spec and spec.draft_vocab_size)
+        else 150_000
+    )
     sp = SamplingParams(
         max_tokens=4096,
         temperature=0.7 if sampled else 0.0,
@@ -174,7 +183,7 @@ def main():
         engine.add_request(
             Request(
                 request_id=f"bench-{i}",
-                prompt_token_ids=rng.integers(1, 150_000, size=prompt_len).tolist(),
+                prompt_token_ids=rng.integers(1, tok_hi, size=prompt_len).tolist(),
                 sampling_params=sp,
             )
         )
@@ -198,7 +207,18 @@ def main():
         log("=== device-time breakdown of one engine step ===")
         print_top(lambda: engine.step(), n=25, warmup=1)
 
-    # steady-state decode
+    # steady-state decode: cap measured steps so no sequence can hit
+    # max_model_len mid-measurement (capped slots go inert and deflate
+    # tokens/step)
+    max_len_now = max(
+        len(r.prompt_token_ids) + len(r.output_token_ids)
+        for r in engine.scheduler.requests.values()
+    )
+    per_step = M * (K + 1 if use_spec else 1)
+    fit = max(1, (max_model_len - max_len_now - per_step) // per_step)
+    if fit < steps:
+        log(f"capping measured steps {steps} -> {fit} (max_model_len)")
+        steps = fit
     gen0 = sum(len(r.output_token_ids) for r in engine.scheduler.requests.values())
     t0 = time.perf_counter()
     for _ in range(steps):

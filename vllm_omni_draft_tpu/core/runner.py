@@ -30,7 +30,7 @@ from vllm_omni_draft_tpu.core.request import Request
 from vllm_omni_draft_tpu.core.scheduler import RunnerOutput, SchedulerOutput
 from vllm_omni_draft_tpu.models import get_model
 from vllm_omni_draft_tpu.models.weights import load_params, quantize_params
-from vllm_omni_draft_tpu.ops.attention import AttentionMetadata
+from vllm_omni_draft_tpu.ops.attention import AttentionMetadata, kv_store_dim
 from vllm_omni_draft_tpu.parallel import sharding as shd
 from vllm_omni_draft_tpu.parallel.mesh import TP_AXIS, make_mesh
 from vllm_omni_draft_tpu.ops.rejection import (
@@ -96,7 +96,10 @@ def _kv_bytes_per_block(cfg: EngineConfig, block_size: int) -> int:
     total = 0
     for m in models:
         itemsize = 1 if m.kv_cache_dtype == "fp8" else (4 if m.dtype == "float32" else 2)
-        total += 2 * m.num_layers * block_size * m.num_kv_heads * m.head_dim * itemsize
+        total += (
+            2 * m.num_layers * block_size * m.num_kv_heads
+            * kv_store_dim(m.head_dim) * itemsize
+        )
     return total
 
 

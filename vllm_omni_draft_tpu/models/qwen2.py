@@ -33,6 +33,7 @@ from vllm_omni_draft_tpu.ops import quant as quant_ops
 from vllm_omni_draft_tpu.ops.attention import (
     AttentionMetadata,
     attention_at_layer,
+    kv_store_dim,
     write_kv_layer,
 )
 from vllm_omni_draft_tpu.ops.layers import (
@@ -146,7 +147,15 @@ def init_kv_cache(
         "float32": jnp.float32,
         "fp8": quant_ops.FP8_DTYPE,
     }[cfg.kv_cache_dtype]
-    shape = (cfg.num_layers, num_blocks, block_size, cfg.num_kv_heads, cfg.head_dim)
+    # head_dim stored lane-padded (ops.attention.kv_store_dim) so the
+    # Pallas kernel's whole-block DMAs stay tile-aligned for D=64 drafts
+    shape = (
+        cfg.num_layers,
+        num_blocks,
+        block_size,
+        cfg.num_kv_heads,
+        kv_store_dim(cfg.head_dim),
+    )
     return {"k": jnp.zeros(shape, kv_dt), "v": jnp.zeros(shape, kv_dt)}
 
 
@@ -167,6 +176,7 @@ def make_forward(cfg: ModelConfig):
     `src/doc/engine_core.md:297-298`).
     """
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    Dk = kv_store_dim(Dh)
     scale = 1.0 / math.sqrt(Dh)
     eps = cfg.rms_norm_eps
     theta = cfg.rope_theta
@@ -200,8 +210,13 @@ def make_forward(cfg: ModelConfig):
             k = linear_at_layer(h, lw["k"], l).reshape(B, T, Hkv, Dh)
             v = linear_at_layer(h, lw["v"], l).reshape(B, T, Hkv, Dh)
             q, k = apply_rope_cos_sin(q, k, cos, sin)
+            if Dk != Dh:
+                # lane-pad q/k/v so storage + kernel stay tile-aligned;
+                # zero lanes are exact (see ops.attention.kv_store_dim)
+                pad = ((0, 0), (0, 0), (0, 0), (0, Dk - Dh))
+                q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
             kc, vc = write_kv_layer(kc, vc, k, v, meta.slot_mapping, l)
-            o = attention_at_layer(q, kc, vc, l, meta, scale)
+            o = attention_at_layer(q, kc, vc, l, meta, scale)[..., :Dh]
             x = x + linear_at_layer(o.reshape(B, T, Hq * Dh), lw["o"], l)
 
             h = rms_norm(x, jnp.take(lw["ln2"], l, axis=0), eps)

@@ -22,6 +22,18 @@ import jax.numpy as jnp
 
 from vllm_omni_draft_tpu.ops import quant as quant_ops
 
+# KV is STORED with head_dim padded to a lane multiple so the Pallas
+# paged-attention kernel (whole-block DMAs need lane-aligned head_dim,
+# docs/kernels.md rule 1) covers small-head models too — notably spec
+# drafts (D=64), whose XLA gather fallback measured ~0.3 ms/layer vs the
+# kernel's ~5 us. Zero-padding is exact: padded q/k lanes contribute 0 to
+# scores, padded v lanes are sliced off the output.
+KV_LANE = 128
+
+
+def kv_store_dim(head_dim: int) -> int:
+    return -(-head_dim // KV_LANE) * KV_LANE
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
