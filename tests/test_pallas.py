@@ -135,6 +135,41 @@ def test_quant_matmul_kernels_interpret(shape, monkeypatch):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("valid_frac", [1.0, 0.75])
+def test_argmax_matmul_kernels_interpret(valid_frac, monkeypatch):
+    """Fused greedy lm_head: argmax ids match argmax over the dequantized
+    logits, including exclusion of tile-padding rows (valid_o < O) and
+    lowest-index tie-breaking across tiles."""
+    from vllm_omni_draft_tpu.ops.pallas import quant_matmul as qm
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **kw: orig_call(*a, **{**kw, "interpret": True})
+    )
+    B, I, O = 8, 256, 512
+    valid = int(O * valid_frac)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, I), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (O, I), jnp.float32)
+    if valid < O:
+        # make out-of-vocab pad rows the global argmax so masking matters
+        w = w.at[valid:].set(w[valid:] * 0.0 + 10.0)
+
+    q8 = q.quantize_int8(w)
+    got8 = qm.argmax_matmul_int8_pallas(x, q8["w"], q8["s"], valid, block_o=128)
+    ref8 = jnp.argmax((x @ q.dequantize(q8, jnp.float32).T)[:, :valid], -1)
+    np.testing.assert_array_equal(np.asarray(got8), np.asarray(ref8))
+
+    q4 = q.quantize_int4(w, group_size=128)
+    got4 = qm.argmax_matmul_int4_pallas(x, q4["w"], q4["s"], valid, block_o=128)
+    ref4 = jnp.argmax((x @ q.dequantize(q4, jnp.float32).T)[:, :valid], -1)
+    np.testing.assert_array_equal(np.asarray(got4), np.asarray(ref4))
+
+    gotd = qm.argmax_matmul_dense_pallas(x, w, valid, block_o=128)
+    refd = jnp.argmax((x @ w.T)[:, :valid], -1)
+    np.testing.assert_array_equal(np.asarray(gotd), np.asarray(refd))
+
+
 @pytest.mark.parametrize(
     "T,num_real,start,tq",
     [

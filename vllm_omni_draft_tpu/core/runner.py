@@ -347,7 +347,10 @@ class ModelRunner:
         M = self.M
 
         def _decode_iter(params, kv, cur, lens, block_tables, pick_token):
-            """One decode iteration: forward the current tokens, pick next."""
+            """One decode iteration: forward the current tokens, pick next.
+            `pick_token` receives the last-position HIDDEN state [B, D] so
+            the greedy path can use the fused matmul+argmax lm_head (never
+            materializing [B, V] f32 logits)."""
             active = lens > 0
             positions = jnp.where(active[:, None], (lens - 1)[:, None], -1)
             meta = AttentionMetadata(
@@ -357,10 +360,14 @@ class ModelRunner:
                 slot_mapping=_slots_from_positions(block_tables, positions, bs),
             )
             hidden, kv = self.target_fwd(params, cur[:, None], positions, kv, meta)
-            logits = self.target_mod.compute_logits(cfg, params, hidden[:, 0])
-            tok = pick_token(logits)
+            tok = pick_token(hidden[:, 0])
             lens = jnp.where(active, lens + 1, lens)
             return kv, tok, lens
+
+        def _logits_pick(params, pick_from_logits):
+            return lambda h: pick_from_logits(
+                self.target_mod.compute_logits(cfg, params, h)
+            )
 
         def decode(params, kv, last_tokens, seq_lens, block_tables,
                    temps, top_ks, top_ps, key):
@@ -374,7 +381,8 @@ class ModelRunner:
                     probs = compute_probs(logits, temps, top_ks, top_ps)
                     return sample_from_probs(probs, jax.random.fold_in(key, i))
                 kv, tok, lens = _decode_iter(params, kv, cur, lens,
-                                             block_tables, pick)
+                                             block_tables,
+                                             _logits_pick(params, pick))
                 return (kv, tok, lens), tok
 
             (kv, last, lens), toks = jax.lax.scan(
@@ -390,7 +398,7 @@ class ModelRunner:
 
             def body(carry, i):
                 kv, cur, lens = carry
-                pick = lambda logits: jnp.argmax(logits, -1).astype(jnp.int32)
+                pick = lambda h: self.target_mod.compute_argmax(cfg, params, h)
                 kv, tok, lens = _decode_iter(params, kv, cur, lens,
                                              block_tables, pick)
                 return (kv, tok, lens), tok
@@ -430,7 +438,8 @@ class ModelRunner:
                 return sample_from_probs(probs, key)
 
             kv, tok, _ = _decode_iter(
-                params, kv, last_tokens, seq_lens, block_tables, pick
+                params, kv, last_tokens, seq_lens, block_tables,
+                _logits_pick(params, pick),
             )
             return tok[:, None], kv  # [B, 1]
 
@@ -458,7 +467,8 @@ class ModelRunner:
                 return tok
 
             kv, tok, _ = _decode_iter(
-                params, kv, last_tokens, seq_lens, block_tables, pick
+                params, kv, last_tokens, seq_lens, block_tables,
+                _logits_pick(params, pick),
             )
             vals, ids, chosen = out["lp"]
             return tok[:, None], vals, ids, chosen, kv
@@ -490,7 +500,6 @@ class ModelRunner:
             )
             toks0 = jnp.stack([prev, last], axis=1)  # [B, 2]
             hidden0, kv_d = self.draft_fwd(params_d, toks0, pos0, kv_d, meta0)
-            logits0 = self.draft_mod.compute_logits(dcfg, params_d, hidden0[:, 1])
 
             def pad_v(qp):
                 # pruned-vocab proposals: zero probability outside the
@@ -499,9 +508,14 @@ class ModelRunner:
                 return qp if pad == 0 else jnp.pad(qp, ((0, 0), (0, pad)))
 
             if greedy:
-                d1 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+                d1 = self.draft_mod.compute_argmax(
+                    dcfg, params_d, hidden0[:, 1]
+                )
                 q0 = None
             else:
+                logits0 = self.draft_mod.compute_logits(
+                    dcfg, params_d, hidden0[:, 1]
+                )
                 q0 = compute_probs(logits0, temps, top_ks, top_ps)
                 d1 = sample_from_probs(q0, jax.random.fold_in(key_i, 0))
                 q0 = pad_v(q0)
@@ -519,10 +533,12 @@ class ModelRunner:
                 hidden, kv_d = self.draft_fwd(
                     params_d, cur[:, None], positions, kv_d, meta
                 )
-                logits = self.draft_mod.compute_logits(dcfg, params_d, hidden[:, 0])
                 if greedy:
-                    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    tok = self.draft_mod.compute_argmax(
+                        dcfg, params_d, hidden[:, 0]
+                    )
                     return (kv_d, tok), (tok, jnp.zeros((B, 1), jnp.float32))
+                logits = self.draft_mod.compute_logits(dcfg, params_d, hidden[:, 0])
                 q = compute_probs(logits, temps, top_ks, top_ps)
                 tok = sample_from_probs(q, jax.random.fold_in(key_i, i))
                 return (kv_d, tok), (tok, pad_v(q))
@@ -543,15 +559,15 @@ class ModelRunner:
                 slot_mapping=_slots_from_positions(block_tables, positions, bs),
             )
             hidden, kv_t = self.target_fwd(params_t, verify_toks, positions, kv_t, meta)
-            logits = self.target_mod.compute_logits(
-                cfg, params_t, hidden.reshape(B * (K + 1), -1)
-            )
             if greedy:
-                tgt_argmax = (
-                    jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(B, K + 1)
-                )
+                tgt_argmax = self.target_mod.compute_argmax(
+                    cfg, params_t, hidden.reshape(B * (K + 1), -1)
+                ).reshape(B, K + 1)
                 out_toks, num_emitted = rejection_greedy(draft_toks, tgt_argmax)
             else:
+                logits = self.target_mod.compute_logits(
+                    cfg, params_t, hidden.reshape(B * (K + 1), -1)
+                )
                 V = cfg.vocab_size
                 q_probs = jnp.concatenate(
                     [q0[:, None, :], jnp.swapaxes(q_rest, 0, 1)], axis=1

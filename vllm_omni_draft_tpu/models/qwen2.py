@@ -246,6 +246,14 @@ def compute_logits(cfg: ModelConfig, params: dict, hidden: jax.Array) -> jax.Arr
     return logits[..., : cfg.vocab_size]
 
 
+def compute_argmax(cfg: ModelConfig, params: dict, hidden: jax.Array) -> jax.Array:
+    """Greedy head: argmax token ids [N] int32 without materializing the
+    [N, V] f32 logits (fused matmul+argmax kernel on TPU; the pad rows of
+    a tile-padded lm_head are excluded via cfg.vocab_size)."""
+    head = params["lm_head"] if "lm_head" in params else {"w": params["embed"]}
+    return quant_ops.argmax_matmul(hidden, head, cfg.vocab_size)
+
+
 import sys as _sys  # noqa: E402
 
 register_model("qwen2", _sys.modules[__name__])

@@ -60,3 +60,14 @@ def install(enable_attention: bool = True, enable_quant: bool = True) -> None:
         quant.use_pallas_stacked_kernels(
             matmul_int8_stacked_pallas, int4_l, matmul_dense_stacked_pallas
         )
+        from vllm_omni_draft_tpu.ops.pallas.quant_matmul import (
+            argmax_matmul_dense_pallas,
+            argmax_matmul_int4_pallas,
+            argmax_matmul_int8_pallas,
+        )
+
+        quant.use_pallas_argmax_kernels(
+            argmax_matmul_int8_pallas,
+            None if int4 is None else argmax_matmul_int4_pallas,
+            argmax_matmul_dense_pallas,
+        )

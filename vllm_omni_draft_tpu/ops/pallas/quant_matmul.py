@@ -277,7 +277,7 @@ def matmul_int4_stacked_pallas(
     return out[:B]
 
 
-def _int4_body(x_ref, w_slice, st_ref, xsum_ref, o_ref, group_size: int):
+def _int4_acc(x_ref, w_slice, st_ref, xsum_ref, shape, group_size: int):
     """x [BP, I]; w_slice [O_T, I//2] uint8 split-half (ref or loaded
     value); st [Gp, O_T] f32 (scales transposed so one group's scales are
     one lane-contiguous row; zero-padded to Gp rows); xsum [BP, Gp] f32
@@ -302,7 +302,7 @@ def _int4_body(x_ref, w_slice, st_ref, xsum_ref, o_ref, group_size: int):
 
     x_all = x_ref[...]
     s_all = st_ref[...]  # [Gp, O_T]
-    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    acc = jnp.zeros(shape, jnp.float32)
     for c in range(C):
         sl = slice(c * group_size, (c + 1) * group_size)
         p = w_slice[:, sl].astype(jnp.int32)  # no i8 vector arithmetic
@@ -320,16 +320,18 @@ def _int4_body(x_ref, w_slice, st_ref, xsum_ref, o_ref, group_size: int):
         xsum_ref[...], s_all, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [BP, O_T]; padded rows/cols of st/xsum are zero
-    o_ref[...] = (acc - 8.0 * corr).astype(o_ref.dtype)
+    return acc - 8.0 * corr
 
 
 def _int4_kernel_stacked(l_ref, x_ref, w_ref, st_ref, xsum_ref, o_ref, *,
                          group_size: int):
-    _int4_body(x_ref, w_ref[0], st_ref, xsum_ref, o_ref, group_size)
+    y = _int4_acc(x_ref, w_ref[0], st_ref, xsum_ref, o_ref.shape, group_size)
+    o_ref[...] = y.astype(o_ref.dtype)
 
 
 def _int4_kernel(x_ref, w_ref, st_ref, xsum_ref, o_ref, *, group_size: int):
-    _int4_body(x_ref, w_ref, st_ref, xsum_ref, o_ref, group_size)
+    y = _int4_acc(x_ref, w_ref, st_ref, xsum_ref, o_ref.shape, group_size)
+    o_ref[...] = y.astype(o_ref.dtype)
 
 
 def _group_sums(x: jax.Array, group_size: int, G: int):
@@ -353,6 +355,229 @@ def _group_sums(x: jax.Array, group_size: int, G: int):
 # compensate. The old 160 cap came from Mosaic materializing an f32 copy
 # of x for in-kernel zero-point row sums — lifted by passing xsum in.
 _INT4_MAX_BP = 256
+
+
+# ---------------------------------------------------------------------------
+# Fused matmul+argmax: the greedy lm_head. Computes argmax_o(x @ W^T)
+# WITHOUT materializing the [B, V] f32 logits (XLA's separate
+# iota-reduce argmax over 152k lanes measured 0.36 ms/step at B=40 —
+# more than the whole int4 lm_head matmul). A running (max, argmax)
+# carry lives in the revisited output block across grid steps; ties
+# resolve to the lowest index, matching jnp.argmax. `valid_o` masks the
+# zero-scale tile-padding rows appended by quant.pad_out_rows (their
+# logit is exactly 0, which would win over all-negative real logits).
+# ---------------------------------------------------------------------------
+
+
+def _argmax_update(y, i, block_o, valid_o, m_ref, a_ref):
+    idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1) + i * block_o
+    y = jnp.where(idx < valid_o, y, -jnp.inf)
+    tile_max = jnp.max(y, axis=-1, keepdims=True)  # [BP, 1]
+    big = jnp.int32(2**30)
+    tile_arg = jnp.min(
+        jnp.where(y == tile_max, idx, big), axis=-1, keepdims=True
+    )
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, m_ref.dtype)
+        a_ref[...] = jnp.zeros(a_ref.shape, a_ref.dtype)
+
+    better = tile_max > m_ref[...][:, :1]
+    m_ref[...] = jnp.where(better, tile_max, m_ref[...][:, :1])
+    a_ref[...] = jnp.where(better, tile_arg, a_ref[...][:, :1])
+
+
+def _int4_argmax_kernel(x_ref, w_ref, st_ref, xsum_ref, m_ref, a_ref, *,
+                        group_size: int, block_o: int, valid_o: int):
+    i = pl.program_id(0)
+    y = _int4_acc(
+        x_ref, w_ref, st_ref, xsum_ref,
+        (x_ref.shape[0], w_ref.shape[0]), group_size,
+    )
+    _argmax_update(y, i, block_o, valid_o, m_ref, a_ref)
+
+
+def _int8_argmax_kernel(x_ref, w_ref, s_ref, m_ref, a_ref, *,
+                        block_o: int, valid_o: int):
+    i = pl.program_id(0)
+    x = x_ref[...]
+    w = w_ref[...].astype(x.dtype)
+    y = jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * s_ref[...][:, 0][None, :]
+    _argmax_update(y, i, block_o, valid_o, m_ref, a_ref)
+
+
+def _dense_argmax_kernel(x_ref, w_ref, m_ref, a_ref, *,
+                         block_o: int, valid_o: int):
+    i = pl.program_id(0)
+    x = x_ref[...]
+    y = jax.lax.dot_general(
+        x, w_ref[...].astype(x.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    _argmax_update(y, i, block_o, valid_o, m_ref, a_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("valid_o", "block_o"))
+def argmax_matmul_dense_pallas(
+    x: jax.Array,  # [B, I]
+    w: jax.Array,  # [O, I] bf16/f32
+    valid_o: int | None = None,
+    block_o: int = 512,
+) -> jax.Array:  # [B] int32
+    B, I = x.shape
+    O = w.shape[0]
+    valid_o = O if valid_o is None else valid_o
+    BP = max(8, -(-B // 8) * 8)
+    if BP != B:
+        x = jnp.pad(x, ((0, BP - B), (0, 0)))
+    budget_rows = _budget_rows(
+        BP, I, x.dtype.itemsize, row_bytes=I * w.dtype.itemsize
+    )
+    block_o = _pick_block_o(O, min(budget_rows, block_o) if block_o < 512 else budget_rows)
+
+    m, a = pl.pallas_call(
+        functools.partial(
+            _dense_argmax_kernel, block_o=block_o, valid_o=valid_o
+        ),
+        grid=(O // block_o,),
+        in_specs=[
+            pl.BlockSpec((BP, I), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_o, I), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BP, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BP, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BP, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BP, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BP * O * I,
+            bytes_accessed=O * I * w.dtype.itemsize
+            + BP * I * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, w)
+    return a[:B, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("valid_o", "block_o"))
+def argmax_matmul_int4_pallas(
+    x: jax.Array,  # [B, I]
+    packed: jax.Array,  # [O, I//2] uint8 (split-half)
+    s: jax.Array,  # [O, I//G] f32
+    valid_o: int | None = None,
+    block_o: int = 512,
+) -> jax.Array:  # [B] int32 = argmax over rows < valid_o
+    B, I = x.shape
+    O = packed.shape[0]
+    G = s.shape[1]
+    group_size = I // G
+    valid_o = O if valid_o is None else valid_o
+    BP = max(8, -(-B // 8) * 8)
+    if (
+        BP > _INT4_MAX_BP
+        or G % 2
+        or group_size % 128
+        or (I // 2) % group_size
+    ):
+        from vllm_omni_draft_tpu.ops import quant as q
+
+        w = q.dequantize({"w": packed, "s": s}, dtype=x.dtype)
+        return jnp.argmax((x @ w.T)[:, :valid_o], axis=-1).astype(jnp.int32)
+    if BP != B:
+        x = jnp.pad(x, ((0, BP - B), (0, 0)))
+    st = s.T.astype(jnp.float32)
+    xsum, Gp = _group_sums(x, group_size, G)
+    if Gp != G:
+        st = jnp.pad(st, ((0, Gp - G), (0, 0)))
+    budget_rows = _budget_rows(
+        BP, I, x.dtype.itemsize, row_bytes=I // 2,
+        extra_row_bytes=Gp * 4,
+    )
+    block_o = _pick_block_o(O, min(budget_rows, block_o) if block_o < 512 else budget_rows)
+
+    m, a = pl.pallas_call(
+        functools.partial(
+            _int4_argmax_kernel, group_size=group_size, block_o=block_o,
+            valid_o=valid_o,
+        ),
+        grid=(O // block_o,),
+        in_specs=[
+            pl.BlockSpec((BP, I), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_o, I // 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gp, block_o), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BP, Gp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BP, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BP, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BP, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BP, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BP * O * I,
+            bytes_accessed=O * I // 2 + BP * I * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, packed, st, xsum)
+    return a[:B, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("valid_o", "block_o"))
+def argmax_matmul_int8_pallas(
+    x: jax.Array,  # [B, I]
+    q: jax.Array,  # [O, I] int8
+    s: jax.Array,  # [O, 1] f32
+    valid_o: int | None = None,
+    block_o: int = 512,
+) -> jax.Array:  # [B] int32
+    B, I = x.shape
+    O = q.shape[0]
+    valid_o = O if valid_o is None else valid_o
+    BP = max(8, -(-B // 8) * 8)
+    if BP != B:
+        x = jnp.pad(x, ((0, BP - B), (0, 0)))
+    budget_rows = _budget_rows(BP, I, x.dtype.itemsize, row_bytes=I)
+    block_o = _pick_block_o(O, min(budget_rows, block_o) if block_o < 512 else budget_rows)
+
+    m, a = pl.pallas_call(
+        functools.partial(
+            _int8_argmax_kernel, block_o=block_o, valid_o=valid_o
+        ),
+        grid=(O // block_o,),
+        in_specs=[
+            pl.BlockSpec((BP, I), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_o, I), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_o, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BP, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BP, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BP, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BP, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BP * O * I,
+            bytes_accessed=O * I + BP * I * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, q, s)
+    return a[:B, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("block_o",))

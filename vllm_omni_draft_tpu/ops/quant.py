@@ -124,11 +124,20 @@ _PALLAS_INT4 = None
 _PALLAS_INT8_L = None
 _PALLAS_INT4_L = None
 _PALLAS_DENSE_L = None
+_PALLAS_ARGMAX_INT8 = None
+_PALLAS_ARGMAX_INT4 = None
+_PALLAS_ARGMAX_DENSE = None
 
 
 def use_pallas_kernels(int8_fn, int4_fn=None) -> None:
     global _PALLAS_INT8, _PALLAS_INT4
     _PALLAS_INT8, _PALLAS_INT4 = int8_fn, int4_fn
+
+
+def use_pallas_argmax_kernels(int8_fn, int4_fn=None, dense_fn=None) -> None:
+    global _PALLAS_ARGMAX_INT8, _PALLAS_ARGMAX_INT4, _PALLAS_ARGMAX_DENSE
+    _PALLAS_ARGMAX_INT8, _PALLAS_ARGMAX_INT4 = int8_fn, int4_fn
+    _PALLAS_ARGMAX_DENSE = dense_fn
 
 
 def use_pallas_stacked_kernels(int8_fn, int4_fn=None, dense_fn=None) -> None:
@@ -150,6 +159,32 @@ def matmul_int4(x: jax.Array, packed: jax.Array, s: jax.Array) -> jax.Array:
         return _PALLAS_INT4(x, packed, s)
     w = dequantize({"w": packed, "s": s}, dtype=x.dtype)
     return x @ w.T
+
+
+def argmax_matmul(x: jax.Array, w: dict, valid_o: int) -> jax.Array:
+    """Greedy lm_head: argmax over the first `valid_o` output rows of
+    x @ W^T, [B, I] -> [B] int32 — fused into the quantized-matmul kernel
+    on TPU so the [B, V] f32 logits never reach HBM. The XLA fallback
+    materializes logits (CPU tests + sampled paths do that anyway)."""
+    kind = weight_kind(w)
+    if kind == "int8" and _PALLAS_ARGMAX_INT8 is not None and x.ndim == 2:
+        return _PALLAS_ARGMAX_INT8(x, w["w"], w["s"], valid_o)
+    if kind == "int4" and _PALLAS_ARGMAX_INT4 is not None and x.ndim == 2:
+        return _PALLAS_ARGMAX_INT4(x, w["w"], w["s"], valid_o)
+    if kind == "dense" and _PALLAS_ARGMAX_DENSE is not None and x.ndim == 2:
+        return _PALLAS_ARGMAX_DENSE(x, w["w"], valid_o)
+    if kind == "int8":
+        y = matmul_int8(x, w["w"], w["s"])
+    elif kind == "int4":
+        y = matmul_int4(x, w["w"], w["s"])
+    else:
+        y = jax.lax.dot_general(
+            x, w["w"].astype(x.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.argmax(y[..., :valid_o].astype(jnp.float32), axis=-1).astype(
+        jnp.int32
+    )
 
 
 # ---------------------------------------------------------------------------
