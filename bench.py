@@ -50,6 +50,7 @@ def main():
     kv_dtype = os.environ.get("VOT_BENCH_KV_DTYPE", "bfloat16")
     sampled = os.environ.get("VOT_BENCH_SAMPLED", "0") == "1"
     max_model_len = int(os.environ.get("VOT_BENCH_MODEL_LEN", "1024"))
+    fuse = os.environ.get("VOT_BENCH_FUSE", "0") == "1"
 
     target = ModelConfig(
         vocab_size=151_936,
@@ -63,6 +64,7 @@ def main():
         dtype="bfloat16",
         quantization=quant,
         kv_cache_dtype=kv_dtype,
+        fuse_projections=fuse,
     )
     spec = None
     if use_spec:
@@ -77,6 +79,7 @@ def main():
             head_dim=64,
             max_model_len=max_model_len,
             dtype="bfloat16",
+            fuse_projections=fuse,
         )
         dv = int(os.environ.get("VOT_BENCH_DRAFT_VOCAB", "0")) or None
         spec = SpeculativeConfig(

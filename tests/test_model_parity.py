@@ -179,3 +179,40 @@ def test_padding_rows_are_inert(hf_checkpoint):
     np.testing.assert_allclose(
         np.asarray(hidden_pad[0]), np.asarray(hidden_ref[0]), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("quant", [None, "int8", "int4"])
+def test_fused_projections_match_unfused(hf_checkpoint, quant):
+    """fuse_projection_stacks (qkv / gate_up single matmuls) is a pure
+    layout change: forward hidden states must match the unfused layout
+    bit-for-bit in f32 (same dots, same order within each projection)."""
+    from vllm_omni_draft_tpu.models.weights import (
+        fuse_projection_stacks,
+        quantize_params,
+    )
+
+    path, _ = hf_checkpoint
+    cfg = ModelConfig.from_hf_config(path)
+    cfg.dtype = "float32"
+    params = load_params(cfg)
+    if quant:
+        params = quantize_params(params, quant, group_size=16)
+    fwd = qwen2.make_forward(cfg)
+
+    T = 6
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(
+        rng.integers(0, TINY_HF["vocab_size"], size=(1, T)).astype(np.int32)
+    )
+    meta = _full_prefill_meta(T, 4, 7)
+
+    kv = qwen2.init_kv_cache(cfg, num_blocks=8, block_size=4)
+    ref, _ = fwd(params, tokens, meta.positions, kv, meta)
+
+    fused = fuse_projection_stacks(params)
+    assert "q" not in fused["layers"] and "qkv" in fused["layers"]
+    kv2 = qwen2.init_kv_cache(cfg, num_blocks=8, block_size=4)
+    got, _ = fwd(fused, tokens, meta.positions, kv2, meta)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )

@@ -70,6 +70,11 @@ class ModelConfig:
     quant_group_size: int = 128  # group size along in-features for int4
     # KV cache dtype: "bfloat16" | "fp8" (float8_e4m3fn + per-write scale)
     kv_cache_dtype: str = "bfloat16"
+    # fuse the q/k/v (and gate/up) projection stacks into single matmuls:
+    # fewer device ops per layer, which is what per-layer serial latency
+    # is made of (PERF_NOTES.md). TP>1 keeps them separate (megatron
+    # shardings slice each projection's output dim independently).
+    fuse_projections: bool = False
     # multimodal
     is_multimodal: bool = False
     vision_config: dict[str, Any] | None = None

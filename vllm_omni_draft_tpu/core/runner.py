@@ -64,6 +64,13 @@ def _build_params(cfg: ModelConfig):
         params = jax.jit(lambda: mod.init_params(cfg))()
         if cfg.quantization:
             params = quantize_params(params, cfg.quantization, cfg.quant_group_size)
+    if "lm_head" in params and "s" not in params["lm_head"]:
+        # dense heads need the same tile-friendly row padding the
+        # quantized heads get (7B vocab 151936 = 2^7*1187 only tiles to
+        # 128-row blocks): zero rows, excluded by valid_o/vocab slicing
+        from vllm_omni_draft_tpu.ops import quant as quant_ops
+
+        params["lm_head"] = jax.jit(quant_ops.pad_out_rows)(params["lm_head"])
     return mod, params
 
 
@@ -172,7 +179,22 @@ class ModelRunner:
         # replicated (BASELINE.json: per-host draft replicas)
         self.mesh = make_mesh(config.parallel) if config.parallel.world_size > 1 else None
 
+        # projection fusion halves per-layer matmul count; TP shards each
+        # projection's output dim separately (megatron), so only fuse on
+        # a single-model-shard mesh
+        tp1 = config.parallel.tensor_parallel_size <= 1
+
+        def _maybe_fuse(mcfg, params):
+            if mcfg.fuse_projections and tp1:
+                from vllm_omni_draft_tpu.models.weights import (
+                    fuse_projection_stacks,
+                )
+
+                return jax.jit(fuse_projection_stacks, donate_argnums=0)(params)
+            return params
+
         self.target_mod, self.target_params = _build_params(config.model)
+        self.target_params = _maybe_fuse(config.model, self.target_params)
         self.target_fwd = self.target_mod.make_forward(config.model)
         if self.mesh is not None:
             self.target_params = shd.shard_params(self.target_params, self.mesh)
@@ -182,6 +204,7 @@ class ModelRunner:
         )
         if self.draft_cfg is not None:
             self.draft_mod, self.draft_params = _build_params(self.draft_cfg)
+            self.draft_params = _maybe_fuse(self.draft_cfg, self.draft_params)
             self.draft_fwd = self.draft_mod.make_forward(self.draft_cfg)
             if self.mesh is not None:
                 self.draft_params = shd.replicate(self.draft_params, self.mesh)

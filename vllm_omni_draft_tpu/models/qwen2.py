@@ -206,9 +206,16 @@ def make_forward(cfg: ModelConfig):
             B, T, D = x.shape
 
             h = rms_norm(x, jnp.take(lw["ln1"], l, axis=0), eps)
-            q = linear_at_layer(h, lw["q"], l).reshape(B, T, Hq, Dh)
-            k = linear_at_layer(h, lw["k"], l).reshape(B, T, Hkv, Dh)
-            v = linear_at_layer(h, lw["v"], l).reshape(B, T, Hkv, Dh)
+            if "qkv" in lw:  # fused projection stack (fuse_projection_stacks)
+                qkv = linear_at_layer(h, lw["qkv"], l)
+                nq, nkv = Hq * Dh, Hkv * Dh
+                q = qkv[..., :nq].reshape(B, T, Hq, Dh)
+                k = qkv[..., nq:nq + nkv].reshape(B, T, Hkv, Dh)
+                v = qkv[..., nq + nkv:].reshape(B, T, Hkv, Dh)
+            else:
+                q = linear_at_layer(h, lw["q"], l).reshape(B, T, Hq, Dh)
+                k = linear_at_layer(h, lw["k"], l).reshape(B, T, Hkv, Dh)
+                v = linear_at_layer(h, lw["v"], l).reshape(B, T, Hkv, Dh)
             q, k = apply_rope_cos_sin(q, k, cos, sin)
             if Dk != Dh:
                 # lane-pad q/k/v so storage + kernel stay tile-aligned;
@@ -220,8 +227,13 @@ def make_forward(cfg: ModelConfig):
             x = x + linear_at_layer(o.reshape(B, T, Hq * Dh), lw["o"], l)
 
             h = rms_norm(x, jnp.take(lw["ln2"], l, axis=0), eps)
-            g = linear_at_layer(h, lw["gate"], l)
-            u = linear_at_layer(h, lw["up"], l)
+            if "gate_up" in lw:
+                gu = linear_at_layer(h, lw["gate_up"], l)
+                F = gu.shape[-1] // 2
+                g, u = gu[..., :F], gu[..., F:]
+            else:
+                g = linear_at_layer(h, lw["gate"], l)
+                u = linear_at_layer(h, lw["up"], l)
             x = x + linear_at_layer(jax.nn.silu(g) * u, lw["down"], l)
             return (x, kc, vc), None
 

@@ -135,3 +135,22 @@ def quantize_params(params: dict, method: str, group_size: int = 128) -> dict:
 
 def param_bytes(params) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+
+
+def fuse_projection_stacks(params: dict) -> dict:
+    """Concatenate the q/k/v stacks into one "qkv" stack and gate/up into
+    one "gate_up" stack (output-dim concat, valid for dense and both
+    quantized forms since rows quantize independently). Halves the matmul
+    count on the attention input side — per-layer serial op-issue latency
+    is a measured ~45% of a 7B decode step (PERF_NOTES.md). The forward
+    (models/qwen2.py) dispatches on key presence. TP callers must NOT
+    fuse: megatron shardings split each projection's output dim."""
+
+    def cat(nodes):
+        keys = nodes[0].keys()
+        return {k: jnp.concatenate([n[k] for n in nodes], axis=1) for k in keys}
+
+    lyr = dict(params["layers"])
+    lyr["qkv"] = cat([lyr.pop("q"), lyr.pop("k"), lyr.pop("v")])
+    lyr["gate_up"] = cat([lyr.pop("gate"), lyr.pop("up")])
+    return {**params, "layers": lyr}

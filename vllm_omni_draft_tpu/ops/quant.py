@@ -78,15 +78,16 @@ def pad_out_rows(w: dict, multiple: int = 512) -> dict:
     128-row tiles — 1187 grid steps whose fixed costs cost ~35% of the
     lm_head's bandwidth. Consumers must slice the padded columns off the
     result (compute_logits does)."""
-    if weight_kind(w) == "dense":
-        return w
+    # dense weights pad with zero rows (logit exactly 0; argmax_matmul
+    # excludes them via valid_o, compute_logits slices them off)
     O = w["w"].shape[0]
     pad = (-O) % multiple
     if pad == 0:
         return w
     out = dict(w)
     out["w"] = jnp.pad(w["w"], ((0, pad), (0, 0)))
-    out["s"] = jnp.pad(w["s"], ((0, pad), (0, 0)))
+    if "s" in w:
+        out["s"] = jnp.pad(w["s"], ((0, pad), (0, 0)))
     if "b" in w:
         out["b"] = jnp.pad(w["b"], ((0, pad),))
     return out
@@ -171,7 +172,16 @@ def argmax_matmul(x: jax.Array, w: dict, valid_o: int) -> jax.Array:
         return _PALLAS_ARGMAX_INT8(x, w["w"], w["s"], valid_o)
     if kind == "int4" and _PALLAS_ARGMAX_INT4 is not None and x.ndim == 2:
         return _PALLAS_ARGMAX_INT4(x, w["w"], w["s"], valid_o)
-    if kind == "dense" and _PALLAS_ARGMAX_DENSE is not None and x.ndim == 2:
+    if (
+        kind == "dense"
+        and _PALLAS_ARGMAX_DENSE is not None
+        and x.ndim == 2
+        and w["w"].shape[0] <= 65536
+    ):
+        # big dense heads (the 152k full-vocab draft head) run FASTER as
+        # XLA's own matmul+iota-reduce fusion (~0.36 ms, near DMA-bound)
+        # than the Pallas kernel (measured 2930 -> 2547 tok/s regression);
+        # the kernel wins for small/pruned heads where fixed costs dominate
         return _PALLAS_ARGMAX_DENSE(x, w["w"], valid_o)
     if kind == "int8":
         y = matmul_int8(x, w["w"], w["s"])
