@@ -567,7 +567,8 @@ class ModelRunner:
                 return (kv_d, tok), (tok, pad_v(q))
 
             (kv_d, _), (draft_rest, q_rest) = jax.lax.scan(
-                draft_body, (kv_d, d1), jnp.arange(1, K, dtype=jnp.int32)
+                draft_body, (kv_d, d1), jnp.arange(1, K, dtype=jnp.int32),
+                unroll=True,  # K-1 <= ~7 steps; skip while-loop machinery
             )
             draft_toks = jnp.concatenate([d1[:, None], draft_rest.T], axis=1)
 

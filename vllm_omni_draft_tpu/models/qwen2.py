@@ -239,8 +239,12 @@ def make_forward(cfg: ModelConfig):
 
         L = lw["ln1"].shape[0]
         carry = (x, kv_cache["k"], kv_cache["v"])
+        # small models (spec drafts) unroll the layer loop: while-loop
+        # iteration machinery is a measurable share of their per-forward
+        # latency, and at <=8 layers program size stays reasonable
         (x, new_k, new_v), _ = jax.lax.scan(
-            layer_fn, carry, jnp.arange(L, dtype=jnp.int32)
+            layer_fn, carry, jnp.arange(L, dtype=jnp.int32),
+            unroll=L if L <= 8 else 1,
         )
         x = rms_norm(x, params["final_norm"], eps)
         return x, {"k": new_k, "v": new_v}
