@@ -96,7 +96,10 @@ def main():
     K = spec.num_speculative_tokens if spec else 0
     cfg = EngineConfig(
         model=target,
-        cache=CacheConfig(block_size=16, gpu_memory_utilization=0.85),
+        cache=CacheConfig(
+            block_size=int(os.environ.get("VOT_BENCH_BLOCK", "16")),
+            gpu_memory_utilization=0.85,
+        ),
         scheduler=SchedulerConfig(
             max_num_seqs=B,
             # the token budget must cover a FULL decode batch's worst case
@@ -213,6 +216,49 @@ def main():
 
         log("=== device-time breakdown of one engine step ===")
         print_top(lambda: engine.step(), n=25, warmup=1)
+
+    if os.environ.get("VOT_BENCH_MODE") == "ttft":
+        # p50 time-to-first-token under a cold B-request burst (BASELINE
+        # metric). The engine is warm (compiled) from the phase above; a
+        # fresh burst of B requests measures scheduler+prefill latency.
+        import statistics
+
+        for r in list(engine.scheduler.requests.values()):
+            engine.abort_requests([r.request_id])
+        while engine.has_unfinished() or engine.batch_queue:
+            engine.step()
+        t_start = time.perf_counter()
+        first: dict[str, float] = {}
+        for i in range(B):
+            engine.add_request(
+                Request(
+                    request_id=f"ttft-{i}",
+                    prompt_token_ids=rng.integers(
+                        1, tok_hi, size=prompt_len
+                    ).tolist(),
+                    sampling_params=sp,
+                )
+            )
+        while len(first) < B:
+            engine.step()
+            now = time.perf_counter()
+            for r in engine.scheduler.requests.values():
+                if r.output_token_ids and r.request_id not in first:
+                    first[r.request_id] = now - t_start
+        p50 = statistics.median(first.values())
+        log(f"TTFT p50={p50*1000:.1f}ms p99={max(first.values())*1000:.1f}ms "
+            f"(burst of {B}, prompt_len={prompt_len})")
+        print(
+            json.dumps(
+                {
+                    "metric": f"ttft_p50_qwen7b_{quant or 'bf16'}_burst{B}",
+                    "value": round(p50 * 1000, 1),
+                    "unit": "ms",
+                    "vs_baseline": round(0.346 / max(p50, 1e-9), 3),
+                }
+            )
+        )
+        return
 
     # steady-state decode: cap measured steps so no sequence can hit
     # max_model_len mid-measurement (capped slots go inert and deflate
