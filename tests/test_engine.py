@@ -304,15 +304,17 @@ def test_n_greater_than_one_sampling(hf_checkpoint):
     assert [c.token_ids for c in outg.outputs] == [ref, ref]
 
 
-def test_fp8_kv_cache_engine(hf_checkpoint):
-    """Ladder config 3 shape on CPU: fp8 KV through the whole engine —
-    runs and stays close to the bf16-KV output (quantization noise only)."""
+@pytest.mark.parametrize("kv_dtype", ["fp8", "int8"])
+def test_quantized_kv_cache_engine(kv_dtype, hf_checkpoint):
+    """Ladder config 3 shape on CPU: 1-byte KV (fp8 e4m3 / int8 fixed-point)
+    through the whole engine — runs and stays close to the bf16-KV output
+    (quantization noise only)."""
     path, hf = hf_checkpoint
     cfg = _config(path)
     import dataclasses
 
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-        cfg.model, kv_cache_dtype="fp8"))
+        cfg.model, kv_cache_dtype=kv_dtype))
     llm = LLM(cfg)
     prompt = [7, 8, 9, 10, 11]
     out = llm.generate([prompt], [GREEDY(8)])[0]

@@ -13,11 +13,15 @@ from vllm_omni_draft_tpu.ops.attention import AttentionMetadata, paged_attention
 def _random_cache_state(key, B, T, NB, BS, Hkv, D, kv_dtype=jnp.float32,
                         min_len=1):
     ks = jax.random.split(key, 4)
-    k_cache = jax.random.normal(ks[0], (NB, BS, Hkv, D), jnp.float32)
-    v_cache = jax.random.normal(ks[1], (NB, BS, Hkv, D), jnp.float32)
-    if kv_dtype != jnp.float32:
-        k_cache = k_cache.astype(kv_dtype)
-        v_cache = v_cache.astype(kv_dtype)
+    if kv_dtype == jnp.int8:
+        k_cache = jax.random.randint(ks[0], (NB, BS, Hkv, D), -127, 128, jnp.int8)
+        v_cache = jax.random.randint(ks[1], (NB, BS, Hkv, D), -127, 128, jnp.int8)
+    else:
+        k_cache = jax.random.normal(ks[0], (NB, BS, Hkv, D), jnp.float32)
+        v_cache = jax.random.normal(ks[1], (NB, BS, Hkv, D), jnp.float32)
+        if kv_dtype != jnp.float32:
+            k_cache = k_cache.astype(kv_dtype)
+            v_cache = v_cache.astype(kv_dtype)
     max_blocks = NB // B
     rng = np.random.default_rng(0)
     kv_lens = rng.integers(max(T, min_len), max_blocks * BS, size=B).astype(np.int32)
@@ -88,7 +92,11 @@ def test_paged_attention_kernel_inactive_rows(monkeypatch):
     np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
 
 
-def test_paged_attention_kernel_fp8(monkeypatch):
+@pytest.mark.parametrize("kv_dtype", ["fp8", "int8"])
+def test_paged_attention_kernel_quantized_kv(kv_dtype, monkeypatch):
+    """1-byte KV formats: fp8 e4m3 and int8 fixed-point (the TPU-native
+    variant — no hw fp8 on v5e-class chips). Kernel must match the XLA
+    reference's in-register dequantization."""
     from vllm_omni_draft_tpu.ops.pallas import paged_attention as pa
     import jax.experimental.pallas as pl
 
@@ -99,7 +107,8 @@ def test_paged_attention_kernel_fp8(monkeypatch):
     B, T, Hq, Hkv, D, BS, NB = 2, 1, 4, 2, 64, 8, 16
     qarr = jax.random.normal(jax.random.PRNGKey(0), (B, T, Hq, D), jnp.float32)
     k_cache, v_cache, meta = _random_cache_state(
-        jax.random.PRNGKey(1), B, T, NB, BS, Hkv, D, kv_dtype=q.FP8_DTYPE
+        jax.random.PRNGKey(1), B, T, NB, BS, Hkv, D,
+        kv_dtype=q.FP8_DTYPE if kv_dtype == "fp8" else jnp.int8,
     )
     ref = paged_attention(qarr, k_cache, v_cache, meta, D ** -0.5, kv_scale=1.0)
     got = pa.paged_attention_pallas(

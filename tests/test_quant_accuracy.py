@@ -72,11 +72,12 @@ def test_int4_ppl_delta(setup):
     assert abs(ppl_q - base) / base < 0.15, (base, ppl_q)
 
 
-def test_fp8_kv_ppl_delta(setup):
+@pytest.mark.parametrize("kv_dtype", ["fp8", "int8"])
+def test_quantized_kv_ppl_delta(setup, kv_dtype):
     cfg, params, tokens, base = setup
     import dataclasses
 
-    cfg8 = dataclasses.replace(cfg, kv_cache_dtype="fp8")
+    cfg8 = dataclasses.replace(cfg, kv_cache_dtype=kv_dtype)
     ppl8 = _ppl(cfg8, params, tokens)
     assert abs(ppl8 - base) / base < 0.05, (base, ppl8)
 

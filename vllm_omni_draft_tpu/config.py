@@ -68,8 +68,14 @@ class ModelConfig:
     # weight-only quantization: None | "int8" | "int4"
     quantization: str | None = None
     quant_group_size: int = 128  # group size along in-features for int4
-    # KV cache dtype: "bfloat16" | "fp8" (float8_e4m3fn + per-write scale)
+    # KV cache dtype: "bfloat16" | "float32" | "fp8" (float8_e4m3fn) |
+    # "int8" (TPU-native fixed-point; see ops/quant.py KV8_AMAX)
     kv_cache_dtype: str = "bfloat16"
+    # calibrated KV range multiplier for the 1-byte formats (reference
+    # capability: vLLM's --kv-cache-dtype calibration scales). int8 KV
+    # represents |v| <= KV8_AMAX * kv_scale; set < 1 for models whose
+    # post-RoPE k/v are small to cut quantization noise.
+    kv_scale: float = 1.0
     # fuse the q/k/v (and gate/up) projection stacks into single matmuls:
     # fewer device ops per layer, which is what per-layer serial latency
     # is made of (PERF_NOTES.md). TP>1 keeps them separate (megatron
@@ -89,7 +95,7 @@ class ModelConfig:
             raise ValueError("num_heads must be divisible by num_kv_heads")
         if self.quantization not in (None, "int8", "int4"):
             raise ValueError(f"bad quantization {self.quantization!r}")
-        if self.kv_cache_dtype not in ("bfloat16", "float32", "fp8"):
+        if self.kv_cache_dtype not in ("bfloat16", "float32", "fp8", "int8"):
             raise ValueError(f"bad kv_cache_dtype {self.kv_cache_dtype!r}")
 
     @classmethod

@@ -102,7 +102,11 @@ def _kv_bytes_per_block(cfg: EngineConfig, block_size: int) -> int:
         models.append(cfg.speculative.draft_model)
     total = 0
     for m in models:
-        itemsize = 1 if m.kv_cache_dtype == "fp8" else (4 if m.dtype == "float32" else 2)
+        itemsize = (
+            1
+            if m.kv_cache_dtype in ("fp8", "int8")
+            else (4 if m.dtype == "float32" else 2)
+        )
         total += (
             2 * m.num_layers * block_size * m.num_kv_heads
             * kv_store_dim(m.head_dim) * itemsize

@@ -146,6 +146,10 @@ def init_kv_cache(
         "bfloat16": jnp.bfloat16,
         "float32": jnp.float32,
         "fp8": quant_ops.FP8_DTYPE,
+        # the TPU-native 1-byte KV: no hw fp8 on v5e-class chips, so f8
+        # converts are slow VPU bit-twiddling; int8 fixed-point converts
+        # natively (ops/quant.py "INT8 KV-cache conversion")
+        "int8": jnp.int8,
     }[cfg.kv_cache_dtype]
     # head_dim stored lane-padded (ops.attention.kv_store_dim) so the
     # Pallas kernel's whole-block DMAs stay tile-aligned for D=64 drafts
@@ -178,6 +182,7 @@ def make_forward(cfg: ModelConfig):
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     Dk = kv_store_dim(Dh)
     scale = 1.0 / math.sqrt(Dh)
+    kv_scale = cfg.kv_scale
     eps = cfg.rms_norm_eps
     theta = cfg.rope_theta
 
@@ -222,8 +227,10 @@ def make_forward(cfg: ModelConfig):
                 # zero lanes are exact (see ops.attention.kv_store_dim)
                 pad = ((0, 0), (0, 0), (0, 0), (0, Dk - Dh))
                 q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-            kc, vc = write_kv_layer(kc, vc, k, v, meta.slot_mapping, l)
-            o = attention_at_layer(q, kc, vc, l, meta, scale)[..., :Dh]
+            kc, vc = write_kv_layer(kc, vc, k, v, meta.slot_mapping, l,
+                                    kv_scale=kv_scale)
+            o = attention_at_layer(q, kc, vc, l, meta, scale,
+                                   kv_scale=kv_scale)[..., :Dh]
             x = x + linear_at_layer(o.reshape(B, T, Hq * Dh), lw["o"], l)
 
             h = rms_norm(x, jnp.take(lw["ln2"], l, axis=0), eps)

@@ -71,6 +71,9 @@ def write_kv(
     if k_cache.dtype == quant_ops.FP8_DTYPE:
         k_new = quant_ops.kv_to_fp8(k_new, kv_scale)
         v_new = quant_ops.kv_to_fp8(v_new, kv_scale)
+    elif k_cache.dtype == jnp.int8:
+        k_new = quant_ops.kv_to_int8(k_new, kv_scale)
+        v_new = quant_ops.kv_to_int8(v_new, kv_scale)
     else:
         k_new = k_new.astype(k_cache.dtype)
         v_new = v_new.astype(v_cache.dtype)
@@ -102,6 +105,9 @@ def write_kv_layer(
     if k_cache.dtype == quant_ops.FP8_DTYPE:
         k_new = quant_ops.kv_to_fp8(k_new, kv_scale)
         v_new = quant_ops.kv_to_fp8(v_new, kv_scale)
+    elif k_cache.dtype == jnp.int8:
+        k_new = quant_ops.kv_to_int8(k_new, kv_scale)
+        v_new = quant_ops.kv_to_int8(v_new, kv_scale)
     else:
         k_new = k_new.astype(k_cache.dtype)
         v_new = v_new.astype(v_cache.dtype)
@@ -160,6 +166,9 @@ def _attention_gathered(
     if k.dtype == quant_ops.FP8_DTYPE:
         k = quant_ops.kv_from_fp8(k, kv_scale, jnp.float32)
         v = quant_ops.kv_from_fp8(v, kv_scale, jnp.float32)
+    elif k.dtype == jnp.int8:
+        k = quant_ops.kv_from_int8(k, kv_scale, jnp.float32)
+        v = quant_ops.kv_from_int8(v, kv_scale, jnp.float32)
 
     qf = q.reshape(B, T, Hkv, G, D).astype(jnp.float32)
     kf = k.astype(jnp.float32)

@@ -62,7 +62,7 @@ def _kernel(
     BQ: int,
     scale: float,
     kv_scale: float,
-    fp8: bool,
+    deq: bool,
     full_cache: bool,
 ):
     g = pl.program_id(0)
@@ -149,7 +149,7 @@ def _kernel(
             wait_load(c, slot)
             k = kbuf[slot].astype(jnp.float32)  # [BQ, CHUNK_T, Hkv, D]
             v = vbuf[slot].astype(jnp.float32)
-            if fp8:
+            if deq:
                 k = k * kv_scale
                 v = v * kv_scale
 
@@ -236,6 +236,9 @@ def paged_attention_pallas(
     GT = G * T
     GTP = max(8, -(-GT // 8) * 8)
     fp8 = k_cache.dtype == quant_ops.FP8_DTYPE
+    i8 = k_cache.dtype == jnp.int8
+    if i8:  # int8 KV: fold the fixed-point factor into the multiplier
+        kv_scale = quant_ops.kv8_dequant_factor(kv_scale)
 
     if chunk_blocks is None:
         chunk_blocks = max(1, 128 // BS)
@@ -246,7 +249,7 @@ def paged_attention_pallas(
 
     CHUNK_T = chunk_blocks * BS
     if seqs_per_program is None:
-        itemsize = 1 if fp8 else 2
+        itemsize = 1 if (fp8 or i8) else 2
         per_seq = 2 * 2 * CHUNK_T * Hkv * D * itemsize  # dbl-buffered K+V
         seqs_per_program = max(1, min(8, _KV_SCRATCH_BUDGET // per_seq))
     BQ = seqs_per_program
@@ -274,7 +277,7 @@ def paged_attention_pallas(
         BQ=BQ,
         scale=scale,
         kv_scale=kv_scale,
-        fp8=fp8,
+        deq=fp8 or i8 or kv_scale != 1.0,
         full_cache=full_cache,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -345,7 +348,7 @@ def _prefill_kernel(
     CHUNK_BLOCKS: int,
     scale: float,
     kv_scale: float,
-    fp8: bool,
+    deq: bool,
     full_cache: bool,
 ):
     qt = pl.program_id(0)
@@ -419,7 +422,7 @@ def _prefill_kernel(
             wait_load(c, slot)
             k = kbuf[slot].astype(jnp.float32)  # [CHUNK_T, Hkv, D]
             v = vbuf[slot].astype(jnp.float32)
-            if fp8:
+            if deq:
                 k = k * kv_scale
                 v = v * kv_scale
 
@@ -488,6 +491,9 @@ def paged_prefill_pallas(
     G = Hq // Hkv
     TQ = min(_PREFILL_TQ, T)
     fp8 = k_cache.dtype == quant_ops.FP8_DTYPE
+    i8 = k_cache.dtype == jnp.int8
+    if i8:  # int8 KV: fold the fixed-point factor into the multiplier
+        kv_scale = quant_ops.kv8_dequant_factor(kv_scale)
 
     if chunk_blocks is None:
         chunk_blocks = max(1, 128 // BS)
@@ -515,7 +521,7 @@ def paged_prefill_pallas(
         CHUNK_BLOCKS=chunk_blocks,
         scale=scale,
         kv_scale=kv_scale,
-        fp8=fp8,
+        deq=fp8 or i8 or kv_scale != 1.0,
         full_cache=full_cache,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -250,3 +250,28 @@ def kv_to_fp8(kv: jax.Array, scale: float = 1.0) -> jax.Array:
 
 def kv_from_fp8(kv: jax.Array, scale: float, dtype=jnp.bfloat16) -> jax.Array:
     return (kv.astype(jnp.float32) * scale).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# INT8 KV-cache conversion — the TPU-NATIVE 1-byte KV format. v5e-class
+# chips have no hardware fp8: f8->f32 converts lower to VPU bit-twiddling
+# that measured 4.6x slower verify attention (0.75 vs 0.16 ms/layer-call)
+# than bf16 KV. int8<->f32 converts are native, so symmetric fixed-point
+# (global amax, like the fp8 path's global scale) gives the same 2x KV
+# bandwidth/footprint saving at near-bf16 attention speed.
+# ---------------------------------------------------------------------------
+
+KV8_AMAX = 8.0  # representable |value| at kv_scale=1 (k/v are O(1) post-norm)
+
+
+def kv8_dequant_factor(scale: float = 1.0) -> float:
+    return KV8_AMAX * scale / 127.0
+
+
+def kv_to_int8(kv: jax.Array, scale: float = 1.0) -> jax.Array:
+    x = kv.astype(jnp.float32) * (127.0 / (KV8_AMAX * scale))
+    return jnp.clip(jnp.round(x), -127.0, 127.0).astype(jnp.int8)
+
+
+def kv_from_int8(kv: jax.Array, scale: float = 1.0, dtype=jnp.bfloat16) -> jax.Array:
+    return (kv.astype(jnp.float32) * kv8_dequant_factor(scale)).astype(dtype)
