@@ -292,7 +292,7 @@ def main():
         json.dumps(
             {
                 "metric": f"decode_tokens_per_sec_per_chip_qwen7b_{quant or 'bf16'}"
-                + ("_fp8kv" if kv_dtype == "fp8" else "")
+                + (f"_{kv_dtype}kv" if kv_dtype != "bfloat16" else "")
                 + ("_sampled" if sampled else "")
                 + (f"_spec_{spec_mode}" if use_spec else ""),
                 "value": round(tps, 1),
