@@ -73,6 +73,8 @@ def main():
     spec = None
     if use_spec:
         # Qwen2.5-0.5B-shaped draft (the BASELINE ladder's draft class).
+        dquant = os.environ.get("VOT_BENCH_DRAFT_QUANT", "")
+        dquant = None if dquant in ("none", "") else dquant
         draft = ModelConfig(
             vocab_size=151_936,
             hidden_size=896,
@@ -83,6 +85,7 @@ def main():
             head_dim=64,
             max_model_len=max_model_len,
             dtype="bfloat16",
+            quantization=dquant,
             fuse_projections=fuse,
         )
         dv = int(os.environ.get("VOT_BENCH_DRAFT_VOCAB", "16384")) or None
@@ -293,6 +296,7 @@ def main():
             {
                 "metric": f"decode_tokens_per_sec_per_chip_qwen7b_{quant or 'bf16'}"
                 + (f"_{kv_dtype}kv" if kv_dtype != "bfloat16" else "")
+                + (f"_draft{dquant}" if use_spec and dquant else "")
                 + ("_sampled" if sampled else "")
                 + (f"_spec_{spec_mode}" if use_spec else ""),
                 "value": round(tps, 1),

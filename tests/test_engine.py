@@ -216,6 +216,29 @@ def test_spec_decode_greedy_is_exactly_lossless(hf_checkpoint, tmp_path_factory,
     assert stats.num_draft_tokens > 0
 
 
+def test_spec_decode_quantized_draft_is_lossless(hf_checkpoint, tmp_path_factory):
+    """An int8-quantized draft is just another (worse) proposal
+    distribution: greedy spec output must still equal target-only greedy
+    exactly (losslessness never depends on draft quality; quantizing the
+    draft halves its weight-bandwidth cost per proposal step)."""
+    path, hf = hf_checkpoint
+    draft_path = _draft_checkpoint(tmp_path_factory, seed=99)
+    spec = SpeculativeConfig(
+        draft_model=ModelConfig.from_hf_config(draft_path, dtype="float32",
+                                               max_model_len=128,
+                                               quantization="int8"),
+        num_speculative_tokens=3,
+    )
+    llm = LLM(_config(path, speculative=spec))
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(1, 100, size=n).tolist() for n in (7, 19)]
+    outs = llm.generate(prompts, [GREEDY(12)] * 2)
+    for p, o in zip(prompts, outs):
+        assert o.outputs[0].token_ids == _hf_greedy(hf, p, 12), p
+    stats = llm.get_stats()["spec_decode"]
+    assert stats.num_draft_tokens > 0
+
+
 @pytest.mark.parametrize("temperature", [0.0, 0.8])
 def test_spec_decode_pruned_draft_vocab_is_lossless(
     hf_checkpoint, tmp_path_factory, temperature
