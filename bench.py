@@ -100,7 +100,9 @@ def main():
     cfg = EngineConfig(
         model=target,
         cache=CacheConfig(
-            block_size=int(os.environ.get("VOT_BENCH_BLOCK", "16")),
+            # 128 measured best for decode throughput (PERF_NOTES block-size
+            # sweep: 16->5758, 32->6122, 64->6287, 128->6380 tok/s; TTFT flat)
+            block_size=int(os.environ.get("VOT_BENCH_BLOCK", "128")),
             gpu_memory_utilization=0.85,
         ),
         scheduler=SchedulerConfig(

@@ -151,6 +151,12 @@ class CacheConfig:
     def __post_init__(self):
         if self.block_size & (self.block_size - 1):
             raise ValueError("block_size must be a power of two")
+        if self.block_size > 128:
+            # one whole block must fit a Pallas KV chunk: the prefill
+            # kernel's scratch is sized for CHUNK_T <= 128 (measured VMEM
+            # stack OOM at 256). 128 is also the measured decode optimum
+            # (PERF_NOTES block-size sweep) — larger buys nothing.
+            raise ValueError("block_size must be <= 128")
 
 
 @dataclass
