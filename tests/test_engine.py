@@ -54,7 +54,8 @@ def hf_checkpoint(tmp_path_factory):
 def _config(path, **kw):
     return EngineConfig(
         model=ModelConfig.from_hf_config(path, dtype="float32", max_model_len=128),
-        cache=CacheConfig(block_size=4, num_blocks=kw.pop("num_blocks", 256)),
+        cache=CacheConfig(block_size=4, num_blocks=kw.pop("num_blocks", 256),
+                          num_cpu_blocks=kw.pop("num_cpu_blocks", 0)),
         scheduler=SchedulerConfig(
             max_num_seqs=kw.pop("max_num_seqs", 4),
             max_num_batched_tokens=kw.pop("max_num_batched_tokens", 64),
@@ -124,6 +125,42 @@ def test_preemption_recovers(hf_checkpoint):
     assert llm.engine.scheduler.stats.num_preempted_total > 0, (
         "test should actually force preemption"
     )
+    for p, o in zip(prompts, outs):
+        assert o.outputs[0].token_ids == _hf_greedy(hf, p, 12)
+
+
+def test_preemption_swaps_to_host_pool(hf_checkpoint):
+    """With num_cpu_blocks > 0, preempted requests save their KV blocks to
+    the host pool and resume by restoring them (no prefill recompute) —
+    the vLLM swap capability (`VLLM_V1_Interface.md:64`). Outputs must be
+    identical to the recompute path (= HF greedy)."""
+    path, hf = hf_checkpoint
+    llm = LLM(_config(path, num_blocks=24, max_num_seqs=3, num_cpu_blocks=64))
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, 100, size=20).tolist() for _ in range(3)]
+    outs = llm.generate(prompts, [GREEDY(12)] * 3)
+    stats = llm.engine.scheduler.stats
+    assert stats.num_preempted_total > 0, "test should force preemption"
+    assert stats.num_swapped_out_total > 0, "preemptions should swap out"
+    assert stats.num_swapped_in_total == stats.num_swapped_out_total
+    # pool accounting balanced, no host arrays leaked
+    assert llm.engine.scheduler.cpu_blocks_free == 64
+    assert not llm.engine._swap_store
+    for p, o in zip(prompts, outs):
+        assert o.outputs[0].token_ids == _hf_greedy(hf, p, 12)
+
+
+def test_swap_pool_too_small_falls_back_to_recompute(hf_checkpoint):
+    """A CPU pool smaller than a victim's block count must fall back to
+    recompute-preemption, still producing exact outputs."""
+    path, hf = hf_checkpoint
+    llm = LLM(_config(path, num_blocks=24, max_num_seqs=3, num_cpu_blocks=1))
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, 100, size=20).tolist() for _ in range(3)]
+    outs = llm.generate(prompts, [GREEDY(12)] * 3)
+    stats = llm.engine.scheduler.stats
+    assert stats.num_preempted_total > 0
+    assert stats.num_swapped_out_total == 0  # victims never fit 1 block
     for p, o in zip(prompts, outs):
         assert o.outputs[0].token_ids == _hf_greedy(hf, p, 12)
 

@@ -51,7 +51,9 @@ def test_fuzz_engine(spec):
         )
     engine = EngineCore(EngineConfig(
         model=ModelConfig.tiny(vocab_size=258, max_model_len=96),
-        cache=CacheConfig(block_size=4, num_blocks=40),  # tight: preemptions
+        # tight pool: constant preemptions; small host pool: both the
+        # swap-out and the recompute preemption paths get exercised
+        cache=CacheConfig(block_size=4, num_blocks=40, num_cpu_blocks=12),
         scheduler=SchedulerConfig(max_num_seqs=3, max_num_batched_tokens=32,
                                   prefill_buckets=(16, 32)),
         speculative=speculative,

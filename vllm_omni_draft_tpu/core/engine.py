@@ -60,6 +60,9 @@ class EngineCore:
         # lag-1 decode streak state: (sched, PendingStep) of the one
         # dispatched-but-unresolved decode step (async_decode_streak)
         self._pending: tuple | None = None
+        # host KV-swap pool: request_id -> host arrays saved by swap_out
+        # (scheduler emits the block moves; the engine executes them)
+        self._swap_store: dict[str, dict] = {}
 
     def add_request(self, request: Request) -> None:
         if request.sampling_params.grammar is not None:
@@ -70,10 +73,22 @@ class EngineCore:
     def abort_requests(self, request_ids: list[str]) -> None:
         aborted = self.scheduler.abort_requests(request_ids)
         for req in aborted:
+            self._swap_store.pop(req.request_id, None)
             self.runner.release_slot(req)
 
     def has_unfinished(self) -> bool:
         return self.scheduler.has_unfinished()
+
+
+    def _execute_swaps(self, sched) -> None:
+        """Perform the scheduler's KV swap work orders. swap_out MUST run
+        before this step's dispatch (the freed blocks are being reused by
+        this very step); swap_in targets blocks freshly allocated this
+        round, which nothing else touches until the request decodes."""
+        for rid, ids in sched.swap_out:
+            self._swap_store[rid] = self.runner.swap_out_blocks(ids)
+        for rid, ids in sched.swap_in:
+            self.runner.swap_in_blocks(self._swap_store.pop(rid), ids)
 
     def step(self) -> list[Request]:
         """One engine iteration. Returns requests that got new tokens
@@ -107,6 +122,7 @@ class EngineCore:
             return self._apply_output(psched, runner_out, t0)
 
         sched = self.scheduler.schedule()
+        self._execute_swaps(sched)
         if sched.is_empty:
             return []
         # slots of preempted requests are recycled before execution
@@ -189,6 +205,7 @@ class EngineCore:
         scheduled = False
         if len(self.batch_queue) < self.max_concurrent_batches:
             sched = self.scheduler.schedule()
+            self._execute_swaps(sched)
             if not sched.is_empty:
                 for rid in sched.preempted_ids:
                     req = self.scheduler.requests.get(rid)

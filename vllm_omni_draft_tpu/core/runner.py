@@ -706,6 +706,63 @@ class ModelRunner:
         return np.asarray(mean if pooling == "mean" else last)
 
     # ------------------------------------------------------------------
+    # KV swap (host offload) — executes the scheduler's swap_out/swap_in
+    # work orders (reference protocol: vLLM blocks_to_swap_out/in;
+    # `VLLM_V1_Interface.md:64` initialize_cache(num_gpu, num_cpu)).
+    # Block counts are padded to pow2 buckets by REPEATING the first id
+    # (a duplicate gather/scatter of identical data is harmless) so each
+    # bucket compiles once.
+    # ------------------------------------------------------------------
+
+    def _swap_pad(self, block_ids) -> tuple[np.ndarray, int]:
+        ids = np.asarray(block_ids, np.int32)
+        n = len(ids)
+        nb = 1 << max(n - 1, 0).bit_length()
+        return np.concatenate([ids, np.full(nb - n, ids[0], np.int32)]), n
+
+    def _swap_gather_fn(self, nb: int):
+        key = ("swap_gather", nb)
+        if key not in self._encode_fns:
+            self._encode_fns[key] = jax.jit(
+                lambda cache, ids: {k: v[:, ids] for k, v in cache.items()}
+            )
+        return self._encode_fns[key]
+
+    def _swap_scatter_fn(self, nb: int):
+        key = ("swap_scatter", nb)
+        if key not in self._encode_fns:
+            self._encode_fns[key] = jax.jit(
+                lambda cache, ids, vals: {
+                    k: cache[k].at[:, ids].set(vals[k]) for k in cache
+                },
+                donate_argnums=0,  # alias: scatter in place, no cache copy
+            )
+        return self._encode_fns[key]
+
+    def swap_out_blocks(self, block_ids: list[int]) -> dict:
+        """Copy the KV of `block_ids` (all layers; target AND draft — both
+        caches share block tables) to host arrays. The gather reads the
+        current cache handles, so it synchronizes after every dispatched
+        step that wrote them (XLA dataflow); callers must invoke this
+        BEFORE dispatching the step that reuses the blocks."""
+        ids, n = self._swap_pad(block_ids)
+        fn = self._swap_gather_fn(len(ids))
+        out = {"n": n, "t": jax.tree.map(np.asarray, fn(self.kv_t, ids))}
+        if self.kv_d is not None:
+            out["d"] = jax.tree.map(np.asarray, fn(self.kv_d, ids))
+        return out
+
+    def swap_in_blocks(self, host_kv: dict, block_ids: list[int]) -> None:
+        """Restore a swap_out_blocks payload into freshly allocated blocks
+        (in-place donated scatter — the cache is never copied)."""
+        assert host_kv["n"] == len(block_ids), (host_kv["n"], len(block_ids))
+        ids, _ = self._swap_pad(block_ids)
+        fn = self._swap_scatter_fn(len(ids))
+        self.kv_t = fn(self.kv_t, ids, host_kv["t"])
+        if self.kv_d is not None:
+            self.kv_d = fn(self.kv_d, ids, host_kv["d"])
+
+    # ------------------------------------------------------------------
     # slot management
     # ------------------------------------------------------------------
 

@@ -43,6 +43,14 @@ class SchedulerOutput:
     # spec-token map: request_id -> draft tokens scheduled for verify
     # (filled by the runner after drafting; the scheduler reserves space)
     num_spec_tokens: int = 0
+    # KV swap work orders (reference protocol: the scheduler emits block
+    # moves, the execution plane performs them — vLLM's
+    # blocks_to_swap_out/in). (request_id, device block ids):
+    # swap_out = save these blocks to the host pool BEFORE this step runs
+    # (they are being reused); swap_in = restore the request's saved KV
+    # into these freshly allocated blocks.
+    swap_out: list[tuple[str, list[int]]] = field(default_factory=list)
+    swap_in: list[tuple[str, list[int]]] = field(default_factory=list)
 
     @property
     def is_empty(self) -> bool:
@@ -87,6 +95,14 @@ class Scheduler:
         # (batch-queue mode): excluded from scheduling AND from preemption
         # victims — their step is still writing KV to their blocks
         self.in_flight: set[str] = set()
+        # host-offload (swap) pool accounting: request_id -> blocks held on
+        # the host. Preempted requests whose KV fits the CPU pool are
+        # swapped out instead of recomputed (vLLM swap capability;
+        # `VLLM_V1_Interface.md:64` initialize_cache(num_gpu, num_cpu)).
+        self.cpu_blocks_free = cache_config.num_cpu_blocks
+        self.swapped_out: dict[str, int] = {}
+        self._round_swap_out: list[tuple[str, list[int]]] = []
+        self._round_swap_in: list[tuple[str, list[int]]] = []
         self.stats = SchedulerStats(kv_blocks_total=num_blocks)
         self.spec_stats = SpecDecodeStats()
 
@@ -118,6 +134,7 @@ class Scheduler:
                 except ValueError:
                     pass
             self.kv.free(req)
+            self.cpu_blocks_free += self.swapped_out.pop(rid, 0)
             self.finished_ids.add(rid)
             aborted.append(req)
         return aborted
@@ -212,6 +229,16 @@ class Scheduler:
                 break
             req.num_computed_tokens = cached_tokens
             req.num_cached_tokens = max(req.num_cached_tokens, cached_tokens)
+            if req.request_id in self.swapped_out:
+                # swapped-out resume: restore the saved KV into the first
+                # n freshly allocated blocks (they cover exactly the
+                # computed tokens the swap saved)
+                n = self.swapped_out.pop(req.request_id)
+                self._round_swap_in.append(
+                    (req.request_id, list(req.block_ids[:n]))
+                )
+                self.cpu_blocks_free += n
+                self.stats.num_swapped_in_total += 1
             self.waiting.popleft()
             req.status = RequestStatus.RUNNING
             req.record("scheduled")
@@ -232,11 +259,15 @@ class Scheduler:
             # running set and decodes from the next step
 
         self._refresh_stats()
+        swap_out, self._round_swap_out = self._round_swap_out, []
+        swap_in, self._round_swap_in = self._round_swap_in, []
         return SchedulerOutput(
             prefills=prefills,
             decodes=decodes,
             preempted_ids=preempted,
             num_spec_tokens=k,
+            swap_out=swap_out,
+            swap_in=swap_in,
         )
 
     @staticmethod
@@ -283,9 +314,21 @@ class Scheduler:
 
     def _preempt(self, req: Request) -> None:
         self.running.remove(req)
+        n_blocks = -(-req.num_computed_tokens // self.kv.block_size)
+        if 0 < n_blocks <= self.cpu_blocks_free:
+            # host-offload: emit a swap_out order for the blocks holding
+            # the computed KV; num_computed_tokens is KEPT so the resume
+            # path restores instead of recomputing the prefill.
+            self._round_swap_out.append(
+                (req.request_id, list(req.block_ids[:n_blocks]))
+            )
+            self.swapped_out[req.request_id] = n_blocks
+            self.cpu_blocks_free -= n_blocks
+            self.stats.num_swapped_out_total += 1
+        else:
+            req.num_computed_tokens = 0
         self.kv.free(req)
         req.status = RequestStatus.PREEMPTED
-        req.num_computed_tokens = 0
         req.spec_token_ids.clear()
         req.record("preempted")
         self.stats.num_preempted_total += 1

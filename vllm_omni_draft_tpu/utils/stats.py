@@ -17,6 +17,8 @@ class SchedulerStats:
     num_running: int = 0
     num_waiting: int = 0
     num_preempted_total: int = 0
+    num_swapped_out_total: int = 0  # preemptions saved to the host pool
+    num_swapped_in_total: int = 0   # host-pool restores (skipped recompute)
     kv_blocks_free: int = 0
     kv_blocks_total: int = 0
     prefix_cache_hit_tokens: int = 0
