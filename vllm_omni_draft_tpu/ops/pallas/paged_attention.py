@@ -206,8 +206,10 @@ def _kernel(
         out_ref[...] = out.astype(out_ref.dtype)
 
 
-# VMEM budget for the double-buffered KV scratch (bytes); BQ adapts to it
-_KV_SCRATCH_BUDGET = 8 * 1024 * 1024
+# VMEM budget for one program's full working set (bytes); BQ adapts to it.
+# 12 MiB of the 16 MiB scoped limit — the remainder covers block tables,
+# semaphores, and Mosaic's own spill slack.
+_KV_SCRATCH_BUDGET = 12 * 1024 * 1024
 
 
 @functools.partial(
@@ -250,7 +252,16 @@ def paged_attention_pallas(
     CHUNK_T = chunk_blocks * BS
     if seqs_per_program is None:
         itemsize = 1 if (fp8 or i8) else 2
-        per_seq = 2 * 2 * CHUNK_T * Hkv * D * itemsize  # dbl-buffered K+V
+        # full per-sequence VMEM footprint, not just the KV scratch: the
+        # f32 K/V casts and the GTP-scaled score/accumulator tensors live
+        # on the Mosaic stack too (measured stack OOM at T=16 x BS=128
+        # when only the scratch was budgeted)
+        per_seq = (
+            2 * 2 * CHUNK_T * Hkv * D * itemsize  # dbl-buffered K+V scratch
+            + 2 * CHUNK_T * Hkv * D * 4           # in-register f32 K, V
+            + 2 * Hkv * GTP * CHUNK_T * 4         # scores + exp probs f32
+            + 3 * Hkv * GTP * D * 4               # q, acc, out f32
+        )
         seqs_per_program = max(1, min(8, _KV_SCRATCH_BUDGET // per_seq))
     BQ = seqs_per_program
     pad_b = (-B) % BQ
