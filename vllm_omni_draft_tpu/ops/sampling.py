@@ -44,18 +44,25 @@ def apply_top_k_top_p(
     """Mask logits outside the per-request top-k / top-p (nucleus) sets.
 
     Sort-free and bandwidth-lean: a full [B, 152k] sort costs tens of ms
-    on TPU, so thresholds are found by bisection — masked reductions over
-    a **bf16 image** of the row. Each pass reads half the bytes of f32,
-    and 16 iterations reach bf16 value resolution (more would bisect
-    below the operand's own granularity). At a bisection threshold the
-    kept set is a ties-inclusive superset: count >= k and mass >= top_p
-    hold by the bisection invariant, matching the `>=`-threshold
-    semantics of a sorted-prefix implementation at bf16 resolution.
-    The RETURNED distribution stays exact f32 over the kept set (the
-    final mask selects original f32 logits).
+    on TPU, so thresholds are found by bisection (16 masked reductions),
+    and top-p runs in unnormalized bf16 exp space so the f32 probs tensor
+    is never materialized. At a bisection threshold the kept set is a
+    ties-inclusive superset: count >= k and mass >= top_p hold by the
+    bisection invariant, matching the `>=`-threshold semantics of a
+    sorted-prefix implementation. The RETURNED distribution stays exact
+    f32 over the kept set (the final mask selects original f32 logits).
+
+    MISCOMPILE GUARD: both bisection operands sit behind an
+    `optimization_barrier`. Without it, XLA-TPU fuses the bisection
+    fori_loop with the logits producer (the int4 matmul custom call) and
+    the counts come out garbage — kept sets of 0, half, or ALL of the
+    vocab depending on fusion shape, while the identical math is correct
+    in isolation (see PERF_NOTES.md "bisection fusion miscompile").
     """
     B, V = logits.shape
-    lx = logits.astype(jnp.bfloat16)  # bisection operand (2 bytes/elem)
+    # barrier: materialize the bf16 image; the bisection loop must not
+    # fuse into the logits producer (miscompiles — see docstring)
+    lx = jax.lax.optimization_barrier(logits.astype(jnp.bfloat16))
     row_max = jnp.max(lx, axis=-1, keepdims=True).astype(jnp.float32)
     row_min = jnp.min(lx, axis=-1, keepdims=True).astype(jnp.float32)
 
@@ -71,9 +78,11 @@ def apply_top_k_top_p(
 
     # ---- top-p in UNNORMALIZED exp space (never materializes f32 probs):
     #      largest tau_u with mass{e_i >= tau_u} >= top_p * denom ----
-    e = jnp.where(
-        keep_k, jnp.exp((lx.astype(jnp.float32) - row_max)), 0.0
-    ).astype(jnp.bfloat16)  # [B, V] bf16, one materialization
+    e = jax.lax.optimization_barrier(
+        jnp.where(
+            keep_k, jnp.exp((lx.astype(jnp.float32) - row_max)), 0.0
+        ).astype(jnp.bfloat16)
+    )  # [B, V] bf16, one materialization; barrier per docstring
     denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
     emax = jnp.max(e, axis=-1, keepdims=True).astype(jnp.float32)
     tp = jnp.minimum(top_p, 1.0)[:, None]
