@@ -100,9 +100,13 @@ def main():
     cfg = EngineConfig(
         model=target,
         cache=CacheConfig(
-            # 128 measured best for decode throughput (PERF_NOTES block-size
-            # sweep: 16->5758, 32->6122, 64->6287, 128->6380 tok/s; TTFT flat)
-            block_size=int(os.environ.get("VOT_BENCH_BLOCK", "128")),
+            # bf16 KV: 128 measured best (PERF_NOTES sweep: 16->5758,
+            # 32->6122, 64->6287, 128->6380 tok/s; TTFT flat). 1-byte KV
+            # (fp8/int8) inverts: 16->5481, 32->4687, 128->4216 (fp8) —
+            # small blocks win once the in-kernel dequant is cheap.
+            block_size=int(os.environ.get(
+                "VOT_BENCH_BLOCK", "128" if kv_dtype == "bfloat16" else "16"
+            )),
             gpu_memory_utilization=0.85,
         ),
         scheduler=SchedulerConfig(

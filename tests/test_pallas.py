@@ -92,6 +92,23 @@ def test_paged_attention_kernel_inactive_rows(monkeypatch):
     np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
 
 
+def test_fp8_bit_placement_dequant_exact():
+    """The kernel's e4m3fn dequant (integer bit placement + 2^120 scale —
+    v5e VPUs have no fp8 cast path) must be EXACT for every e4m3fn code
+    except NaN, including subnormals and both zeros."""
+    from vllm_omni_draft_tpu.ops.pallas.paged_attention import (
+        FP8_BIAS_FIX,
+        _fp8_bits_to_f32,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    codes = codes[(codes & 0x7F) != 0x7F]  # e4m3fn NaN is 0x7f/0xff
+    x = jax.lax.bitcast_convert_type(jnp.asarray(codes), jnp.float8_e4m3fn)
+    ref = np.asarray(x.astype(jnp.float32))
+    got = np.asarray(_fp8_bits_to_f32(x)) * FP8_BIAS_FIX
+    np.testing.assert_array_equal(got, ref)
+
+
 @pytest.mark.parametrize("kv_dtype", ["fp8", "int8"])
 def test_paged_attention_kernel_quantized_kv(kv_dtype, monkeypatch):
     """1-byte KV formats: fp8 e4m3 and int8 fixed-point (the TPU-native

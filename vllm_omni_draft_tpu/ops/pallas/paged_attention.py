@@ -39,6 +39,27 @@ from vllm_omni_draft_tpu.ops.attention import AttentionMetadata
 # whose first valid column arrives in a later chunk)
 NEG_INF = -1e30
 
+# e4m3 exponent bias is 7, f32's is 127: after bit placement the read
+# value is 2^-120 of the true one; folded into the kv_scale multiply.
+FP8_BIAS_FIX = 2.0 ** 120
+
+
+def _fp8_bits_to_f32(x: jax.Array) -> jax.Array:
+    """e4m3fn -> f32 * 2^-120 via integer bit placement.
+
+    v5e-class VPUs have no fp8 hardware path, so `astype(f32)` lowers to a
+    multi-op software cast that dominated the fp8-KV read (measured: fp8 KV
+    42% slower than bf16 KV end-to-end; int8, which converts natively, is
+    at parity). Instead: sign bit -> bit 31, the 7 exp+mantissa bits ->
+    bits 26..20, i.e. reinterpret with f32's exponent bias. Exact for
+    normals AND subnormals (e=0 rows land on f32 subnormals with the same
+    2^120 ratio); e4m3fn has no inf, and its NaN (0x7f) maps to a finite
+    value — cache data never holds NaN. Caller multiplies by
+    FP8_BIAS_FIX (folded into kv_scale)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.uint32)
+    bits = ((u & 0x80) << 24) | ((u & 0x7F) << 20)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
 
 def _kernel(
     # scalar prefetch
@@ -63,6 +84,7 @@ def _kernel(
     scale: float,
     kv_scale: float,
     deq: bool,
+    fp8: bool,
     full_cache: bool,
 ):
     g = pl.program_id(0)
@@ -147,8 +169,12 @@ def _kernel(
                 start_load(c + 1, (c + 1) % 2)
 
             wait_load(c, slot)
-            k = kbuf[slot].astype(jnp.float32)  # [BQ, CHUNK_T, Hkv, D]
-            v = vbuf[slot].astype(jnp.float32)
+            if fp8:
+                k = _fp8_bits_to_f32(kbuf[slot])  # [BQ, CHUNK_T, Hkv, D]
+                v = _fp8_bits_to_f32(vbuf[slot])
+            else:
+                k = kbuf[slot].astype(jnp.float32)
+                v = vbuf[slot].astype(jnp.float32)
             if deq:
                 k = k * kv_scale
                 v = v * kv_scale
@@ -241,6 +267,8 @@ def paged_attention_pallas(
     i8 = k_cache.dtype == jnp.int8
     if i8:  # int8 KV: fold the fixed-point factor into the multiplier
         kv_scale = quant_ops.kv8_dequant_factor(kv_scale)
+    if fp8:  # bit-placement dequant reads values scaled by 2^-120
+        kv_scale = kv_scale * FP8_BIAS_FIX
 
     if chunk_blocks is None:
         chunk_blocks = max(1, 128 // BS)
@@ -289,6 +317,7 @@ def paged_attention_pallas(
         scale=scale,
         kv_scale=kv_scale,
         deq=fp8 or i8 or kv_scale != 1.0,
+        fp8=fp8,
         full_cache=full_cache,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -360,6 +389,7 @@ def _prefill_kernel(
     scale: float,
     kv_scale: float,
     deq: bool,
+    fp8: bool,
     full_cache: bool,
 ):
     qt = pl.program_id(0)
@@ -431,8 +461,12 @@ def _prefill_kernel(
                 start_load(c + 1, (c + 1) % 2)
 
             wait_load(c, slot)
-            k = kbuf[slot].astype(jnp.float32)  # [CHUNK_T, Hkv, D]
-            v = vbuf[slot].astype(jnp.float32)
+            if fp8:
+                k = _fp8_bits_to_f32(kbuf[slot])  # [CHUNK_T, Hkv, D]
+                v = _fp8_bits_to_f32(vbuf[slot])
+            else:
+                k = kbuf[slot].astype(jnp.float32)
+                v = vbuf[slot].astype(jnp.float32)
             if deq:
                 k = k * kv_scale
                 v = v * kv_scale
@@ -505,6 +539,8 @@ def paged_prefill_pallas(
     i8 = k_cache.dtype == jnp.int8
     if i8:  # int8 KV: fold the fixed-point factor into the multiplier
         kv_scale = quant_ops.kv8_dequant_factor(kv_scale)
+    if fp8:  # bit-placement dequant reads values scaled by 2^-120
+        kv_scale = kv_scale * FP8_BIAS_FIX
 
     if chunk_blocks is None:
         chunk_blocks = max(1, 128 // BS)
@@ -533,6 +569,7 @@ def paged_prefill_pallas(
         scale=scale,
         kv_scale=kv_scale,
         deq=fp8 or i8 or kv_scale != 1.0,
+        fp8=fp8,
         full_cache=full_cache,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
