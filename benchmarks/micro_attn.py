@@ -22,8 +22,20 @@ def main():
     ctx = int(os.environ.get("CTX", "512"))
     T = int(os.environ.get("T", "1"))
     key = jax.random.PRNGKey(0)
+    dt_name = os.environ.get("DTYPE", "bfloat16")  # bfloat16 | int8 | fp8
+    kv_dtype = {
+        "bfloat16": jnp.bfloat16,
+        "int8": jnp.int8,
+        "fp8": jnp.float8_e4m3fn,
+    }[dt_name]
     k_cache = jax.random.normal(key, (L, NB, BS, Hkv, D), jnp.bfloat16)
     v_cache = jax.random.normal(key, (L, NB, BS, Hkv, D), jnp.bfloat16)
+    if kv_dtype == jnp.int8:
+        k_cache = (k_cache * 32).astype(jnp.int8)
+        v_cache = (v_cache * 32).astype(jnp.int8)
+    elif kv_dtype != jnp.bfloat16:
+        k_cache = k_cache.astype(kv_dtype)
+        v_cache = v_cache.astype(kv_dtype)
 
     for B in (8, 16, 32):
         nb_per = ctx // BS
