@@ -105,7 +105,10 @@ def main():
             # (fp8/int8) inverts: 16->5481, 32->4687, 128->4216 (fp8) —
             # small blocks win once the in-kernel dequant is cheap.
             block_size=int(os.environ.get(
-                "VOT_BENCH_BLOCK", "128" if kv_dtype == "bfloat16" else "16"
+                "VOT_BENCH_BLOCK",
+                # the small-block inversion is measured only for the 1-byte
+                # KV formats; anything else (bf16, f32) keeps 128
+                "16" if kv_dtype in ("fp8", "int8") else "128",
             )),
             gpu_memory_utilization=0.85,
         ),
@@ -129,58 +132,28 @@ def main():
         f"num_blocks={engine.runner.num_blocks} layers={layers} quant={quant} "
         f"spec={spec_mode}")
 
+    accept_p = float(os.environ.get("VOT_BENCH_ACCEPT", "1.0"))
     if spec_mode == "oracle":
         # Acceptance-controlled machinery benchmark with REAL draft/verify
-        # compute+bandwidth costs. Construction: zero the o/down
-        # projections of EVERY layer in BOTH models (identity residual
-        # stream -- QKV, attention, gate/up still execute at full cost and
-        # the KV cache is still written/read) and tie each model's lm_head
-        # to its own embedding table. Hidden state == RMSNorm(embed(last))
-        # so argmax == last token with an O(sqrt(D)) margin that bf16
-        # kernel-path noise cannot flip: the draft and target both
-        # deterministically propose "repeat", so greedy acceptance is 1.0
-        # BY CONSTRUCTION (a shared-prefix-weights oracle is argmax-tie
-        # fragile with random synthetic weights). Real-weight acceptance
-        # lands between this ceiling and the 0%-floor (VOT_BENCH_SPEC=1,
-        # unrelated random draft).
-        import jax
-        import jax.numpy as jnp
-        from functools import partial
+        # compute+bandwidth costs (utils/oracle.py). VOT_BENCH_ACCEPT=1.0
+        # (default): both models deterministically propose "repeat last
+        # token" => greedy acceptance exactly 1.0 (the machinery
+        # CEILING). VOT_BENCH_ACCEPT=p<1: cyclic-walk heads with a hashed
+        # agree-set => PER-POSITION agreement p, i.e. the real spec
+        # statistics at acceptance p: accepted/drafted =
+        # p(1-p^K)/(K(1-p)), tokens/iter = (1-p^(K+1))/(1-p)
+        # (tests/test_oracle.py). Real Qwen pairs measure ~0.6-0.8
+        # per-position; p=0.7 is the honest realistic mode.
+        from vllm_omni_draft_tpu.utils import oracle as oracle_mod
 
-        from vllm_omni_draft_tpu.ops import quant as quant_ops
-
-        runner = engine.runner
-
-        @partial(jax.jit, donate_argnums=0)
-        def identity_layers(params):
-            lyr = dict(params["layers"])
-            for name in ("o", "down"):
-                d = dict(lyr[name])
-                k = "s" if "s" in d else "w"
-                d[k] = jnp.zeros_like(d[k])
-                lyr[name] = d
-            return {**params, "layers": lyr}
-
-        @jax.jit
-        def tied_head(embed):
-            if quant == "int4":
-                return quant_ops.pad_out_rows(quant_ops.quantize_int4(embed))
-            if quant == "int8":
-                return quant_ops.pad_out_rows(quant_ops.quantize_int8(embed))
-            return {"w": embed}
-
-        runner.target_params = identity_layers(runner.target_params)
-        runner.target_params["lm_head"] = tied_head(
-            runner.target_params["embed"]
-        )
-        runner.draft_params = identity_layers(runner.draft_params)
-        dhead = {"w": runner.draft_params["embed"]}
-        if runner.draft_vocab:
-            dhead = {"w": dhead["w"][: runner.draft_vocab]}
-        runner.draft_params["lm_head"] = dhead
-        jax.block_until_ready(runner.draft_params)
-        log("oracle spec: identity residuals + embedding-tied heads "
-            "(acceptance 1.0 by construction)")
+        if accept_p >= 1.0:
+            oracle_mod.apply_oracle(engine.runner)
+            log("oracle spec: identity residuals + embedding-tied heads "
+                "(acceptance 1.0 by construction)")
+        else:
+            oracle_mod.apply_oracle_acceptance_p(engine.runner, accept_p)
+            log(f"oracle spec: cyclic-walk heads, target acceptance "
+                f"p={accept_p}")
 
     rng = np.random.default_rng(0)
     # oracle + pruned draft vocab: proposals repeat prompt tokens, so the
@@ -191,6 +164,12 @@ def main():
         if (spec_mode == "oracle" and spec and spec.draft_vocab_size)
         else 150_000
     )
+    if spec_mode == "oracle" and accept_p < 1.0:
+        # acceptance-p oracle: the emitted walk increments token ids, so
+        # keep starts far enough from the pruned-draft-vocab edge that no
+        # row leaves the draft's head rows mid-measurement
+        vd = (spec.draft_vocab_size or target.vocab_size) if spec else 150_000
+        tok_hi = max(vd - 4096, vd // 2)
     sp = SamplingParams(
         max_tokens=4096,
         temperature=0.7 if sampled else 0.0,
@@ -304,7 +283,12 @@ def main():
                 + (f"_{kv_dtype}kv" if kv_dtype != "bfloat16" else "")
                 + (f"_draft{dquant}" if use_spec and dquant else "")
                 + ("_sampled" if sampled else "")
-                + (f"_spec_{spec_mode}" if use_spec else ""),
+                + (f"_spec_{spec_mode}" if use_spec else "")
+                + (
+                    f"_accept{accept_p:g}"
+                    if use_spec and spec_mode == "oracle" and accept_p < 1.0
+                    else ""
+                ),
                 "value": round(tps, 1),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(tps / baseline_tps, 3),

@@ -195,6 +195,63 @@ def test_engine_proc_split_over_zmq():
         client.shutdown()
 
 
+@pytest.mark.integration
+def test_engine_proc_death_raises_not_hangs():
+    """Killing the engine proc mid-stream must surface EngineCoreError to
+    the client (output readers AND utility callers), not hang
+    (VERDICT r1 item 10's done-condition)."""
+    pytest.importorskip("zmq")
+    from vllm_omni_draft_tpu.engine.ipc import EngineCoreClient, EngineCoreError
+
+    client = EngineCoreClient(_tiny_config())
+    try:
+        sp = SamplingParams(max_tokens=500, temperature=0.0, ignore_eos=True)
+        client.add_request("r1", [1, 2, 3], sp)
+        outs = client.get_output(timeout=30)
+        assert outs is not None  # stream is live
+        client.proc.kill()  # simulate OOM-kill / crash
+        with pytest.raises(EngineCoreError):
+            for _ in range(200):  # bounded: must raise, not loop forever
+                client.get_output(timeout=5)
+        # utility callers must also fail fast, not time out
+        with pytest.raises((EngineCoreError, TimeoutError)):
+            client.call_utility("get_stats", timeout=5)
+    finally:
+        client.shutdown()
+
+
+@pytest.mark.integration
+def test_engine_proc_utility_errors_and_correlation():
+    """Utility exceptions come back as raising replies; concurrent
+    utility calls each receive THEIR OWN reply (sequence correlation)."""
+    pytest.importorskip("zmq")
+    from vllm_omni_draft_tpu.engine.ipc import EngineCoreClient, EngineCoreError
+
+    client = EngineCoreClient(_tiny_config())
+    try:
+        with pytest.raises(EngineCoreError, match="no_such_method"):
+            client.call_utility("no_such_method")
+        # the proc must still be healthy after a failed utility
+        stats = client.call_utility("get_stats")
+        assert "scheduler" in stats
+        # interleaved utilities from two threads resolve correctly
+        results = {}
+
+        def call(name, key):
+            results[key] = client.call_utility(name)
+
+        ts = [threading.Thread(target=call, args=("get_stats", i))
+              for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        assert len(results) == 4
+        assert all("scheduler" in r for r in results.values())
+    finally:
+        client.shutdown()
+
+
 def test_api_server_models_and_embeddings(async_llm):
     async def run():
         from vllm_omni_draft_tpu.entrypoints.api_server import serve

@@ -59,3 +59,86 @@ def test_dp_group_balances_and_tracks_waves():
         assert group.stats()["current_wave"] == 2
     finally:
         group.shutdown()
+
+
+def _cfg():
+    return EngineConfig(
+        model=ModelConfig.tiny(vocab_size=258, max_model_len=128),
+        cache=CacheConfig(block_size=8, num_blocks=64),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64,
+                                  prefill_buckets=(16, 64)),
+    )
+
+
+@pytest.mark.integration
+def test_dp_coordinator_process():
+    """The coordinator runs as its OWN process (the reference's
+    coordinator/DPEngineCoreProc split): requests and outputs cross a
+    process boundary, wave events flow back, stats via utility RPC."""
+    from vllm_omni_draft_tpu.engine.dp import DPCoordinatorClient
+
+    client = DPCoordinatorClient(_cfg(), dp_size=2)
+    try:
+        sp = SamplingParams(max_tokens=4, temperature=0.0, ignore_eos=True)
+        for i in range(4):
+            client.add_request(f"c{i}", [1 + i, 2, 3], sp)
+        got: dict[str, list[int]] = {}
+        finished = set()
+        waves = []
+        for _ in range(600):
+            outs, wave_events = client.poll(timeout=0.2)
+            waves.extend(wave_events)
+            for _rank, rid, toks, fin, _st in outs:
+                got.setdefault(rid, []).extend(toks)
+                if fin:
+                    finished.add(rid)
+            if len(finished) == 4 and waves:
+                break
+        assert finished == {"c0", "c1", "c2", "c3"}
+        assert all(len(v) == 4 for v in got.values())
+        assert waves == [1]
+        stats = client.call_utility("stats")
+        for extra in client.drain_stash():
+            pass  # outputs interleaved with the utility reply are kept
+        assert stats["dp_size"] == 2
+        assert stats["waves_completed"] == 1
+    finally:
+        client.shutdown()
+
+
+@pytest.mark.integration
+def test_dp_elastic_scaling():
+    """Elastic scaling (reference: EngineCore duty 'elastic scaling',
+    engine_core.md:16): add a replica, route to it, then drain + remove."""
+    from vllm_omni_draft_tpu.engine.dp import DPEngineGroup
+
+    group = DPEngineGroup(_cfg(), dp_size=1)
+    try:
+        assert group.scale_up() == 2
+        sp = SamplingParams(max_tokens=3, temperature=0.0, ignore_eos=True)
+        ranks = {group.add_request(f"e{i}", [5 + i, 6], sp) for i in range(2)}
+        assert ranks == {0, 1}  # the new replica takes load
+        # can't scale down while rank-1 has work
+        with pytest.raises(RuntimeError, match="in-flight"):
+            group.scale_down()
+        finished = set()
+        for _ in range(400):
+            outs, _ = group.poll(timeout=0.1)
+            finished |= {rid for _, rid, _, fin, _ in outs if fin}
+            if len(finished) == 2:
+                break
+        assert len(finished) == 2
+        assert group.scale_down() == 1
+        with pytest.raises(ValueError):
+            group.scale_down()
+        # the survivor still serves
+        group.add_request("e9", [9], sp)
+        done = set()
+        for _ in range(400):
+            outs, _ = group.poll(timeout=0.1)
+            done |= {rid for _, rid, _, fin, _ in outs if fin}
+            if done:
+                break
+        assert done == {"e9"}
+    finally:
+        group.shutdown()

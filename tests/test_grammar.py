@@ -1,0 +1,315 @@
+"""Grammar engine tests: regex→DFA correctness (cross-checked against
+Python `re`), JSON-schema→regex, token bitmasks, and engine-level
+constrained generation — including schema-valid JSON under sampling and
+a mixed structured+spec batch (reference surface: xgrammar-style
+JSON-schema/regex grammar bitmask, `engine_core.md:307-310`)."""
+
+import json
+import re
+
+import numpy as np
+import pytest
+
+from vllm_omni_draft_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SchedulerConfig,
+    SpeculativeConfig,
+)
+from vllm_omni_draft_tpu.core.grammar import (
+    DEAD,
+    JsonSchemaGrammar,
+    RegexGrammar,
+    TokenIndex,
+    compile_regex,
+    schema_to_regex,
+)
+from vllm_omni_draft_tpu.core.request import SamplingParams
+from vllm_omni_draft_tpu.core.tokenizer import ByteTokenizer
+from vllm_omni_draft_tpu.engine.llm import LLM
+
+
+# ---------------------------------------------------------------------------
+# regex → DFA
+# ---------------------------------------------------------------------------
+
+CASES = [
+    ("abc", ["abc"], ["ab", "abcd", "abd", ""]),
+    ("a|bc", ["a", "bc"], ["b", "abc", ""]),
+    ("a*", ["", "a", "aaaa"], ["b", "ab"]),
+    ("a+b?", ["a", "ab", "aaab"], ["b", "", "abb"]),
+    ("[a-c]{2,3}", ["ab", "abc", "ccc"], ["a", "abcd", "ad"]),
+    ("[^x]y", ["ay", "zy", " y"], ["xy", "y", "ayz"]),
+    (r"\d+(\.\d+)?", ["1", "12.5", "0.00"], [".5", "1.", "a1"]),
+    (r"(foo|bar)*", ["", "foo", "barfoo"], ["fo", "fooba"]),
+    (r"a{3}", ["aaa"], ["aa", "aaaa"]),
+    (r"a{2,}", ["aa", "aaaaa"], ["a", ""]),
+    (r"\(x\)", ["(x)"], ["x", "(x"]),
+    (r'"([^"\\]|\\.)*"', ['""', '"ab"', '"a\\"b"'], ['"', '"ab', 'ab"']),
+]
+
+
+@pytest.mark.parametrize("pattern,good,bad", CASES)
+def test_dfa_matches_python_re(pattern, good, bad):
+    dfa = compile_regex(pattern)
+    for s in good:
+        assert re.fullmatch(pattern, s), f"test-case bug: {pattern} {s}"
+        st = dfa.walk_bytes(dfa.start, s.encode())
+        assert st != DEAD and dfa.accept[st], (pattern, s)
+    for s in bad:
+        assert not re.fullmatch(pattern, s)
+        st = dfa.walk_bytes(dfa.start, s.encode())
+        assert st == DEAD or not dfa.accept[st], (pattern, s)
+
+
+def test_dfa_unicode_bytes():
+    # byte-level: negated classes admit multi-byte UTF-8 transparently
+    dfa = compile_regex(r'[^"]*')
+    st = dfa.walk_bytes(dfa.start, "héllo→世界".encode())
+    assert st != DEAD and dfa.accept[st]
+
+
+def test_regex_rejects_garbage():
+    with pytest.raises(ValueError):
+        compile_regex("a{5,2}")
+    with pytest.raises(ValueError):
+        compile_regex("(*abc")
+    with pytest.raises(ValueError):
+        compile_regex("[z-a]")
+
+
+# ---------------------------------------------------------------------------
+# JSON schema → regex (cross-validated with Python re + json)
+# ---------------------------------------------------------------------------
+
+PERSON = {
+    "type": "object",
+    "properties": {
+        "name": {"type": "string"},
+        "age": {"type": "integer"},
+        "tags": {"type": "array", "items": {"type": "string"}, "maxItems": 3},
+    },
+    "required": ["name", "age"],
+}
+
+
+def test_schema_regex_accepts_valid_json():
+    rx = schema_to_regex(PERSON)
+    good = [
+        '{"name":"bob","age":3}',
+        '{"name":"","age":-10,"tags":[]}',
+        '{"name":"x","age":0,"tags":["a","b","c"]}',
+        '{"name": "x", "age": 7}',
+    ]
+    bad = [
+        '{"age":3,"name":"bob"}',  # fixed property order
+        '{"name":"bob"}',          # missing required
+        '{"name":"bob","age":3,"tags":["a","b","c","d"]}',  # maxItems
+        '{"name":bob,"age":3}',    # unquoted string
+        '{"name":"bob","age":3',   # unterminated
+    ]
+    for s in good:
+        assert re.fullmatch(rx, s), s
+        json.loads(s)
+    for s in bad:
+        assert not re.fullmatch(rx, s), s
+
+
+def test_schema_optional_properties():
+    schema = {
+        "type": "object",
+        "properties": {
+            "a": {"type": "integer"},
+            "b": {"type": "boolean"},
+            "c": {"type": "null"},
+        },
+        "required": [],
+    }
+    rx = schema_to_regex(schema)
+    for s in ['{}', '{"a":1}', '{"b":true}', '{"a":1,"c":null}',
+              '{"a":1,"b":false,"c":null}', '{"c":null}']:
+        assert re.fullmatch(rx, s), s
+    for s in ['{"b":true,"a":1}', '{"a":}', '{,"a":1}']:
+        assert not re.fullmatch(rx, s), s
+
+
+def test_schema_enum_const_anyof_ref():
+    schema = {
+        "$defs": {"side": {"enum": ["left", "right"]}},
+        "type": "object",
+        "properties": {
+            "kind": {"const": "move"},
+            "dir": {"$ref": "#/$defs/side"},
+            "speed": {"anyOf": [{"type": "number"}, {"type": "null"}]},
+        },
+        "required": ["kind", "dir", "speed"],
+    }
+    rx = schema_to_regex(schema)
+    assert re.fullmatch(rx, '{"kind":"move","dir":"left","speed":1.5}')
+    assert re.fullmatch(rx, '{"kind":"move","dir":"right","speed":null}')
+    assert not re.fullmatch(rx, '{"kind":"stop","dir":"left","speed":1}')
+
+
+def test_schema_depth_cap():
+    deep = {"type": "array", "items": None}
+    node = deep
+    for _ in range(10):
+        node["items"] = {"type": "array", "items": {"type": "integer"}}
+        node = node["items"]
+    with pytest.raises(ValueError, match="max_depth"):
+        schema_to_regex(deep, max_depth=3)
+
+
+# ---------------------------------------------------------------------------
+# token bitmasks
+# ---------------------------------------------------------------------------
+
+
+def _unpack(packed, V):
+    bits = np.unpackbits(packed.view(np.uint8), bitorder="little")
+    return bits[:V].astype(bool)
+
+
+def test_token_mask_byte_tokenizer():
+    tok = ByteTokenizer()
+    g = RegexGrammar("(yes|no)", tok)
+    g.validate(258)
+    m = _unpack(g.allowed_mask(g.initial_state()), 258)
+    allowed = set(np.nonzero(m)[0].tolist())
+    assert allowed == {ord("y"), ord("n")}
+    s = g.advance(g.initial_state(), ord("n"))
+    m2 = _unpack(g.allowed_mask(s), 258)
+    assert set(np.nonzero(m2)[0].tolist()) == {ord("o")}
+    s = g.advance(s, ord("o"))
+    assert g.is_terminal(s)
+
+
+def test_token_mask_multibyte_tokens():
+    # multi-byte tokens are allowed iff their WHOLE byte string survives
+    toks = [b"a", b"ab", b"abc", b"abd", b"x", None]
+    idx = TokenIndex(toks, eos_token_id=5)
+    dfa = compile_regex("abc")
+    m = _unpack(idx.allowed_packed(dfa, dfa.start), 6)
+    assert m.tolist() == [True, True, True, False, False, False]
+    # at the accepting state only EOS remains
+    st = dfa.walk_bytes(dfa.start, b"abc")
+    m2 = _unpack(idx.allowed_packed(dfa, st), 6)
+    assert m2.tolist() == [False, False, False, False, False, True]
+
+
+def test_eos_only_at_accept():
+    tok = ByteTokenizer()
+    g = RegexGrammar("ab?", tok)
+    g.validate(258)
+    s0 = g.initial_state()
+    assert not _unpack(g.allowed_mask(s0), 258)[257]
+    s1 = g.advance(s0, ord("a"))
+    m = _unpack(g.allowed_mask(s1), 258)
+    assert m[257] and m[ord("b")]  # accepting AND continuable
+
+
+# ---------------------------------------------------------------------------
+# engine-level constrained generation
+# ---------------------------------------------------------------------------
+
+
+def _config(**kw):
+    return EngineConfig(
+        model=ModelConfig.tiny(vocab_size=258, max_model_len=256),
+        cache=CacheConfig(block_size=4, num_blocks=128),
+        scheduler=SchedulerConfig(
+            max_num_seqs=4,
+            max_num_batched_tokens=64,
+            prefill_buckets=(16, 64),
+            **kw.pop("sched", {}),
+        ),
+        **kw,
+    )
+
+
+def test_regex_constrained_generation():
+    llm = LLM(_config())
+    tok = ByteTokenizer()
+    g = RegexGrammar("(red|green|blue)", tok)
+    sp = SamplingParams(max_tokens=16, temperature=0.0, grammar=g,
+                        ignore_eos=True)
+    out = llm.generate(["color:"], [sp])[0]
+    assert out.outputs[0].text in ("red", "green", "blue")
+
+
+# bounded leaves: an unbounded {"type": "integer"} lets a random greedy
+# model emit digits until max_tokens (valid per-grammar, unterminated per
+# JSON) — real models stop, random ones don't
+SMALL_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "ok": {"type": "boolean"},
+        "n": {"enum": [0, 1, 2, 42]},
+    },
+    "required": ["ok", "n"],
+}
+
+
+@pytest.mark.parametrize("temperature", [0.0, 1.0])
+def test_json_schema_generation_is_valid(temperature):
+    """The flagship case: schema-valid JSON even under SAMPLING from a
+    random model (VERDICT r1 item 5's done-condition)."""
+    llm = LLM(_config())
+    tok = ByteTokenizer()
+    g = JsonSchemaGrammar(SMALL_SCHEMA, tok)
+    sp = SamplingParams(max_tokens=64, temperature=temperature, grammar=g,
+                        ignore_eos=True, seed=0)
+    out = llm.generate(["give me json:"], [sp])[0]
+    text = out.outputs[0].text
+    doc = json.loads(text)  # must parse
+    assert isinstance(doc["ok"], bool)
+    assert isinstance(doc["n"], int)
+
+
+def test_mixed_structured_and_spec_batch():
+    """Spec decode must KEEP RUNNING for unconstrained rows while a
+    grammar row shares the batch; the free rows' output must equal a
+    spec-only engine's output, and draft tokens must flow."""
+    draft = ModelConfig.tiny(
+        vocab_size=258, hidden_size=32, intermediate_size=64,
+        num_heads=2, num_kv_heads=2, head_dim=8, max_model_len=256,
+    )
+    spec = SpeculativeConfig(draft_model=draft, num_speculative_tokens=2)
+    free_sp = SamplingParams(max_tokens=12, temperature=0.0, ignore_eos=True)
+    prompts_free = ["hello world", "the quick brown"]
+
+    ref_llm = LLM(_config(speculative=spec))
+    ref = ref_llm.generate(prompts_free, [free_sp] * 2)
+    ref_draft = ref_llm.get_stats()["spec_decode"].num_draft_tokens
+    assert ref_draft > 0
+
+    llm = LLM(_config(speculative=spec))
+    tok = ByteTokenizer()
+    g = JsonSchemaGrammar(SMALL_SCHEMA, tok)
+    con_sp = SamplingParams(max_tokens=64, temperature=0.0, grammar=g,
+                            ignore_eos=True)
+    outs = llm.generate(
+        prompts_free + ["json:"], [free_sp, free_sp, con_sp]
+    )
+    # free rows: unchanged by the constrained batchmate
+    for o, r in zip(outs[:2], ref):
+        assert o.outputs[0].token_ids == r.outputs[0].token_ids
+    # constrained row: valid schema output
+    json.loads(outs[2].outputs[0].text)
+    # spec decode ran for the free rows in the mixed batch
+    stats = llm.get_stats()["spec_decode"]
+    assert stats.num_draft_tokens > 0
+
+
+def test_wide_allowed_set_no_cap():
+    """The old MAX_ALLOWED=64 cap is gone: a grammar step with hundreds of
+    allowed tokens works (bitmask path)."""
+    llm = LLM(_config())
+    tok = ByteTokenizer()
+    g = RegexGrammar(r"[^;]{3};", tok)  # ~255 allowed bytes per step
+    sp = SamplingParams(max_tokens=8, temperature=1.0, grammar=g,
+                        ignore_eos=True, seed=1)
+    out = llm.generate(["x"], [sp])[0]
+    text = out.outputs[0].text
+    assert len(text) == 4 and text.endswith(";")

@@ -105,6 +105,14 @@ def test_grammar_with_fused_decode_steps():
     assert out.outputs[0].text == "abc"
 
 
-def test_branching_factor_limit():
-    with pytest.raises(ValueError, match="branching"):
-        TrieGrammar([[i] for i in range(MAX_ALLOWED + 1)])
+def test_wide_trie_no_branching_cap():
+    """Branching beyond the old MAX_ALLOWED=64 is fine now (packed
+    bitmask path replaced the padded id list)."""
+    g = TrieGrammar([[i] for i in range(200)])
+    assert len(g.allowed(g.initial_state())) == 200
+    m = StructuredOutputManager(vocab_size=258)
+    m.add("r", g)
+    mask = m.mask("r")
+    assert mask.dtype == np.uint32 and mask.shape == (-(-258 // 32),)
+    bits = np.unpackbits(mask.view(np.uint8), bitorder="little")[:258]
+    assert bits.sum() == 200

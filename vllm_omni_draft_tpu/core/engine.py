@@ -40,7 +40,7 @@ class EngineCore:
         )
         from vllm_omni_draft_tpu.core.structured import StructuredOutputManager
 
-        self.structured = StructuredOutputManager()
+        self.structured = StructuredOutputManager(config.model.vocab_size)
         self.runner.structured = self.structured
         self.executor_fail_callback = executor_fail_callback
         self.iteration_stats = IterationStats()
@@ -88,7 +88,25 @@ class EngineCore:
         for rid, ids in sched.swap_out:
             self._swap_store[rid] = self.runner.swap_out_blocks(ids)
         for rid, ids in sched.swap_in:
-            self.runner.swap_in_blocks(self._swap_store.pop(rid), ids)
+            host_kv = self._swap_store.pop(rid, None)
+            if host_kv is None:
+                # a swap_in without a matching swap_out (crash-restart,
+                # future scheduler drift): the KV is unrecoverable —
+                # unschedule the request and demote it to full-prefill
+                # recomputation instead of raising (or worse, decoding
+                # over garbage blocks).
+                req = self.scheduler.requests.get(rid)
+                sched.prefills = [
+                    p for p in sched.prefills if p.request.request_id != rid
+                ]
+                sched.decodes = [
+                    r for r in sched.decodes if r.request_id != rid
+                ]
+                if req is not None and not req.is_finished:
+                    self.scheduler.demote_to_recompute(req)
+                    self.runner.release_slot(req)
+                continue
+            self.runner.swap_in_blocks(host_kv, ids)
 
     def step(self) -> list[Request]:
         """One engine iteration. Returns requests that got new tokens

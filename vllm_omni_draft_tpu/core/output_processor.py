@@ -133,6 +133,11 @@ class OutputProcessor:
             ],
             finished=finished,
             num_cached_tokens=req.num_cached_tokens,
+            prompt_logprobs=(
+                list(req.prompt_logprobs)
+                if sp.prompt_logprobs is not None and req.prompt_logprobs
+                else None
+            ),
         )
 
     def make_pooling_output(self, req: Request, data) -> PoolingRequestOutput:

@@ -57,6 +57,9 @@ class SamplingParams:
     seed: int | None = None
     ignore_eos: bool = False
     logprobs: int | None = None   # top-k logprobs to return (None = off)
+    # top-k logprobs over PROMPT positions (None = off; reference:
+    # prompt-logprobs mode of the logprobs processor, engine_core.md:412-475)
+    prompt_logprobs: int | None = None
     output_kind: OutputKind = OutputKind.CUMULATIVE
     # structured output: a core.structured.Grammar constraining emissions
     # (grammar-constrained requests decode one token per device call)
@@ -102,6 +105,9 @@ class Request:
     spec_token_ids: list[int] = field(default_factory=list)
     # per-output-token top logprobs (when sampling_params.logprobs set)
     logprobs: list[dict[int, float]] = field(default_factory=list)
+    # per-prompt-position top logprobs (entry i = distribution that
+    # predicted prompt token i; entry 0 is always None)
+    prompt_logprobs: list[dict[int, float] | None] | None = None
     # engine slot index while RUNNING (-1 when not resident)
     slot: int = -1
     # output processing
@@ -150,6 +156,7 @@ class RequestOutput:
     outputs: list[CompletionOutput]
     finished: bool
     num_cached_tokens: int = 0
+    prompt_logprobs: list[dict[int, float] | None] | None = None
     metrics: dict[str, float] = field(default_factory=dict)
 
 

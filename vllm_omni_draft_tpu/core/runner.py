@@ -283,6 +283,7 @@ class ModelRunner:
         cfg = self.config.model
         bs = self.block_size
         K = self.K
+        LPK = 8  # top-k logprobs returned when requested
         jit = (lambda f, **kw: f) if self.config.enforce_eager else jax.jit
 
         def prefill(params, kv, tokens, start_pos, num_real, block_table):
@@ -303,6 +304,37 @@ class ModelRunner:
             return logits, kv
 
         self._prefill_fn = jit(prefill, donate_argnums=(1,))
+
+        def prefill_logprobs(params, kv, tokens, start_pos, num_real,
+                             block_table, next_tokens):
+            """Prefill chunk that ALSO returns top-LPK logprobs of every
+            chunk position's next-token distribution (prompt-logprobs
+            mode; reference: prompt logprobs in the logprobs processor,
+            `engine_core.md:412-475`). next_tokens[0, i] = the actual
+            token at global position start_pos+i+1 (whose logprob under
+            this position's distribution is returned as `chosen`)."""
+            T = tokens.shape[1]
+            idx = jnp.arange(T, dtype=jnp.int32)
+            real = idx < num_real
+            positions = jnp.where(real, start_pos + idx, -1)[None, :]
+            meta = AttentionMetadata(
+                block_tables=block_table,
+                kv_lens=(start_pos + num_real)[None],
+                positions=positions,
+                slot_mapping=_slots_from_positions(block_table, positions, bs),
+            )
+            hidden, kv = self.target_fwd(params, tokens, positions, kv, meta)
+            logits_all = self.target_mod.compute_logits(cfg, params, hidden[0])
+            logp = jax.nn.log_softmax(logits_all.astype(jnp.float32), axis=-1)
+            vals, ids = jax.lax.top_k(logp, LPK)
+            chosen = jnp.take_along_axis(
+                logp, jnp.maximum(next_tokens[0], 0)[:, None], axis=1
+            )[:, 0]
+            last = hidden[0, jnp.maximum(num_real - 1, 0)]
+            logits = self.target_mod.compute_logits(cfg, params, last[None, :])[0]
+            return logits, vals, ids.astype(jnp.int32), chosen, kv
+
+        self._prefill_logprobs_fn = jit(prefill_logprobs, donate_argnums=(1,))
 
         def prefill_mm(params, kv, tokens, start_pos, num_real, block_table,
                        mm_embeds, mm_mask):
@@ -357,15 +389,21 @@ class ModelRunner:
         self._sample_fn = jit(sample_one)
         self._argmax_fn = jit(lambda logits: jnp.argmax(logits, -1).astype(jnp.int32))
 
-        def sample_one_masked(logits, temp, top_k, top_p, key, allowed_ids):
-            V = logits.shape[0]
-            valid = allowed_ids >= 0
-            ids = jnp.where(valid, allowed_ids, V)
-            gathered = logits[jnp.minimum(ids, V - 1)]
-            masked = jnp.full_like(logits, -1e30)
-            masked = masked.at[ids].set(
-                jnp.where(valid, gathered, -1e30), mode="drop"
-            )
+        def _unpack_mask(words, V):
+            """Packed uint32 words [..., W] -> bool keep mask [..., V]
+            (bit i of word w covers token id w*32+i — the
+            core/structured.pack_token_ids layout)."""
+            shifts = jnp.arange(32, dtype=jnp.uint32)
+            bits = (words[..., None] >> shifts) & jnp.uint32(1)
+            flat = bits.reshape(*words.shape[:-1], words.shape[-1] * 32)
+            return flat[..., :V] != 0
+
+        def sample_one_masked(logits, temp, top_k, top_p, key, mask_words):
+            """Grammar-constrained single-row sampling: mask_words is the
+            packed allowed-token bitmask (arbitrary-width allowed sets —
+            reference: grammar bitmask, `engine_core.md:307-310`)."""
+            keep = _unpack_mask(mask_words, logits.shape[0])
+            masked = jnp.where(keep, logits, -1e30)
             probs = compute_probs(masked[None], temp[None], top_k[None], top_p[None])
             return sample_from_probs(probs, key)[0]
 
@@ -439,28 +477,20 @@ class ModelRunner:
         self._decode_greedy_fn = jit(decode_greedy, donate_argnums=(1,))
 
         def decode_masked(params, kv, last_tokens, seq_lens, block_tables,
-                          temps, top_ks, top_ps, key, allowed_ids, allowed_cnt):
+                          temps, top_ks, top_ps, key, mask_words, constrained):
             """Grammar-constrained single-iteration decode: rows with
-            allowed_cnt > 0 sample only from their allowed-token set
-            (reference: grammar bitmask fed to the sampler,
+            constrained=True sample only from their packed allowed-token
+            bitmask (reference: grammar bitmask fed to the sampler,
             `engine_core.md:307-310`). One iteration per call — the host
-            FSM must advance between tokens."""
-            B = last_tokens.shape[0]
-            V = cfg.vocab_size
-            A = allowed_ids.shape[1]
+            FSM must advance between tokens. In a mixed batch the
+            unconstrained rows run their own spec/fused program with these
+            rows inert, and vice versa (seq_lens=0 rows are inert)."""
 
             def pick(logits):
-                valid = allowed_ids >= 0  # [B, A]
-                ids = jnp.where(valid, allowed_ids, V)  # OOB => dropped
-                gathered = jnp.take_along_axis(
-                    logits, jnp.minimum(ids, V - 1), axis=1
+                keep = _unpack_mask(mask_words, cfg.vocab_size)  # [B, V]
+                eff = jnp.where(
+                    constrained[:, None] & ~keep, -1e30, logits
                 )
-                masked = jnp.full_like(logits, -1e30)
-                masked = masked.at[
-                    jnp.arange(B)[:, None], ids
-                ].set(jnp.where(valid, gathered, -1e30), mode="drop")
-                constrained = allowed_cnt > 0
-                eff = jnp.where(constrained[:, None], masked, logits)
                 probs = compute_probs(eff, temps, top_ks, top_ps)
                 return sample_from_probs(probs, key)
 
@@ -471,8 +501,6 @@ class ModelRunner:
             return tok[:, None], kv  # [B, 1]
 
         self._decode_masked_fn = jit(decode_masked, donate_argnums=(1,))
-
-        LPK = 8  # top-k logprobs returned when requested
 
         def decode_logprobs(params, kv, last_tokens, seq_lens, block_tables,
                             temps, top_ks, top_ps, key):
@@ -507,9 +535,14 @@ class ModelRunner:
         dcfg = self.draft_cfg
 
         def _spec_iter(params_t, params_d, kv_t, kv_d, prev, last, lens,
-                       block_tables, greedy, temps, top_ks, top_ps, key_i):
+                       block_tables, greedy, temps, top_ks, top_ps, key_i,
+                       with_logprobs=False):
             """One draft-propose(K)/verify/reject iteration. Returns
-            (kv_t, kv_d, out_toks [B,K+1], num_emitted [B])."""
+            (kv_t, kv_d, out_toks [B,K+1], num_emitted [B], lp) where lp
+            is None or (vals [B,K+1,LPK], ids, chosen [B,K+1]) — top-LPK
+            logprobs of the target's per-position sampling distribution
+            (spec decode and logprobs COEXIST; the distributions are
+            already computed for rejection)."""
             B = last.shape[0]
             active = lens > 0
 
@@ -587,7 +620,9 @@ class ModelRunner:
                 slot_mapping=_slots_from_positions(block_tables, positions, bs),
             )
             hidden, kv_t = self.target_fwd(params_t, verify_toks, positions, kv_t, meta)
+            lp = None
             if greedy:
+                assert not with_logprobs  # logprobs batches use the sampled fn
                 tgt_argmax = self.target_mod.compute_argmax(
                     cfg, params_t, hidden.reshape(B * (K + 1), -1)
                 ).reshape(B, K + 1)
@@ -609,11 +644,18 @@ class ModelRunner:
                 out_toks, num_emitted = rejection_sample_dispatch(
                     draft_toks, q_probs, p_probs, jax.random.fold_in(key_i, 999)
                 )
+                if with_logprobs:
+                    logp = jnp.log(jnp.maximum(p_probs, 1e-30))  # [B,K+1,V]
+                    lvals, lids = jax.lax.top_k(logp, LPK)
+                    chosen = jnp.take_along_axis(
+                        logp, jnp.maximum(out_toks, 0)[..., None], axis=-1
+                    )[..., 0]
+                    lp = (lvals, lids.astype(jnp.int32), chosen)
             # inactive rows emit nothing
             num_emitted = jnp.where(active, num_emitted, 0)
-            return kv_t, kv_d, out_toks, num_emitted
+            return kv_t, kv_d, out_toks, num_emitted, lp
 
-        def _spec_multi(greedy):
+        def _spec_multi(greedy, with_logprobs=False):
             def fn(params_t, params_d, kv_t, kv_d, prev_tokens, last_tokens,
                    seq_lens, block_tables, temps=None, top_ks=None,
                    top_ps=None, key=None):
@@ -622,9 +664,10 @@ class ModelRunner:
                     key_m = (
                         jax.random.fold_in(key, m) if key is not None else None
                     )
-                    kv_t, kv_d, out, n = _spec_iter(
+                    kv_t, kv_d, out, n, lp = _spec_iter(
                         params_t, params_d, kv_t, kv_d, prev, last, lens,
                         block_tables, greedy, temps, top_ks, top_ps, key_m,
+                        with_logprobs=with_logprobs,
                     )
                     active = lens > 0
                     nn = jnp.maximum(n, 1)
@@ -639,22 +682,35 @@ class ModelRunner:
                     last_new = jnp.where(active, last_new, last)
                     prev_new = jnp.where(active, prev_new, prev)
                     lens_new = jnp.where(active, lens + n, lens)
-                    return (kv_t, kv_d, prev_new, last_new, lens_new), (out, n)
+                    ys = (out, n) if lp is None else (out, n, *lp)
+                    return (kv_t, kv_d, prev_new, last_new, lens_new), ys
 
                 carry = (kv_t, kv_d, prev_tokens, last_tokens, seq_lens)
-                (kv_t, kv_d, prev, last, lens), (outs, ns) = jax.lax.scan(
+                (kv_t, kv_d, prev, last, lens), ys = jax.lax.scan(
                     body, carry, jnp.arange(M, dtype=jnp.int32)
                 )
-                # outs [M, B, K+1] -> [B, M, K+1]; ns [M, B] -> [B, M]
-                return (
-                    jnp.swapaxes(outs, 0, 1), ns.T, kv_t, kv_d,
-                    (last, prev, lens),
-                )
+                # scan-major [M, B, ...] -> batch-major [B, M, ...]
+                outs, ns = ys[0], ys[1]
+                ret = (jnp.swapaxes(outs, 0, 1), ns.T)
+                if with_logprobs:
+                    lvals, lids, lchosen = ys[2], ys[3], ys[4]
+                    ret += (
+                        jnp.swapaxes(lvals, 0, 1),   # [B, M, K+1, LPK]
+                        jnp.swapaxes(lids, 0, 1),
+                        jnp.swapaxes(lchosen, 0, 1),  # [B, M, K+1]
+                    )
+                return ret + (kv_t, kv_d, (last, prev, lens))
 
             return fn
 
         self._spec_fn = jit(_spec_multi(False), donate_argnums=(2, 3))
         self._spec_greedy_fn = jit(_spec_multi(True), donate_argnums=(2, 3))
+        # spec decode + logprobs coexist: the sampled spec program with
+        # top-LPK payloads (greedy rows get one-hot distributions — same
+        # convention as decode_logprobs)
+        self._spec_logprobs_fn = jit(
+            _spec_multi(False, with_logprobs=True), donate_argnums=(2, 3)
+        )
 
     # ------------------------------------------------------------------
     # pooling / encode (reference: `AsyncLLM.encode()` and the pooling
@@ -861,6 +917,44 @@ class ModelRunner:
                     jnp.asarray(mm_embeds)[None],
                     jnp.asarray(mm_mask)[None],
                 )
+            elif req.sampling_params.prompt_logprobs is not None:
+                all_ids = req.all_token_ids
+                nxt = np.zeros((1, T), np.int32)
+                for i2 in range(sp.chunk_len):
+                    gp = sp.chunk_start + i2
+                    if gp + 1 < len(all_ids):
+                        nxt[0, i2] = all_ids[gp + 1]
+                logits, plp_vals, plp_ids, plp_chosen, self.kv_t = (
+                    self._prefill_logprobs_fn(
+                        self.target_params,
+                        self.kv_t,
+                        jnp.asarray(tokens),
+                        jnp.int32(sp.chunk_start),
+                        jnp.int32(sp.chunk_len),
+                        bt,
+                        jnp.asarray(nxt),
+                    )
+                )
+                ids_np = np.asarray(plp_ids)
+                vals_np = np.asarray(plp_vals)
+                chosen_np = np.asarray(plp_chosen)
+                k_plp = min(
+                    req.sampling_params.prompt_logprobs, ids_np.shape[-1]
+                )
+                payload = []
+                for i2 in range(sp.chunk_len):
+                    pred = sp.chunk_start + i2 + 1
+                    if pred >= req.num_prompt_tokens:
+                        break  # this position predicts an OUTPUT token
+                    top = {
+                        int(a): float(v)
+                        for a, v in zip(ids_np[i2][:k_plp], vals_np[i2][:k_plp])
+                    }
+                    top[all_ids[pred]] = float(chosen_np[i2])
+                    payload.append((pred, top))
+                out.prompt_logprobs.setdefault(req.request_id, []).extend(
+                    payload
+                )
             else:
                 logits, self.kv_t = self._prefill_fn(
                     self.target_params,
@@ -880,15 +974,9 @@ class ModelRunner:
                     bt,
                 )
             if sp.is_final_chunk and sp.sample_on_final:
-                allowed = (
-                    getattr(self, "structured", None)
-                    and self.structured.allowed(req.request_id)
-                )
-                if allowed:
-                    from vllm_omni_draft_tpu.core.structured import MAX_ALLOWED
-
-                    ids = np.full(MAX_ALLOWED, -1, np.int32)
-                    ids[: min(len(allowed), MAX_ALLOWED)] = allowed[:MAX_ALLOWED]
+                mgr = getattr(self, "structured", None)
+                gmask = mgr.mask(req.request_id) if mgr is not None else None
+                if gmask is not None:
                     tok = int(
                         self._sample_masked_fn(
                             logits,
@@ -896,7 +984,7 @@ class ModelRunner:
                             jnp.int32(req.sampling_params.top_k),
                             jnp.float32(req.sampling_params.top_p),
                             jax.random.fold_in(key, 1000 + i),
-                            jnp.asarray(ids),
+                            jnp.asarray(gmask),
                         )
                     )
                 elif req.sampling_params.is_greedy:
@@ -919,7 +1007,17 @@ class ModelRunner:
                 self.last_tokens[req.slot] = req.all_token_ids[-1]
                 self.seq_lens[req.slot] = req.num_tokens
 
-        # ---- decodes: one fused batch step ----
+        # ---- decodes ----
+        # A mixed batch splits into (a) grammar-constrained rows — masked
+        # single-step program (the host FSM must advance between tokens)
+        # — and (b) free rows — the spec / fused multi-step / logprobs
+        # program. Each program runs over the full B-slot arrays with the
+        # OTHER group's rows inert (seq_lens=0), so spec decode keeps
+        # running for unconstrained rows while a structured request sits
+        # in the same batch (reference computes the grammar bitmask
+        # alongside spec decode; `engine_core.md:307-310`).
+        finishes: list = []
+        out_feed = None
         if sched.decodes:
             active = np.zeros(self.B, np.int32)
             for req in sched.decodes:
@@ -930,61 +1028,227 @@ class ModelRunner:
                 self.seq_lens[req.slot] = req.num_tokens
                 self.last_tokens[req.slot] = req.all_token_ids[-1]
                 self.prev_tokens[req.slot] = req.all_token_ids[-2]
-            seq_lens = jnp.asarray(np.where(active, self.seq_lens, 0))
-            all_greedy = all(
-                req.sampling_params.is_greedy for req in sched.decodes
-            )
-            out_feed = None
-            # grammar-constrained rows force the masked single-step path
             structured = getattr(self, "structured", None)
-            allowed_lists = (
+            gmasks = (
                 {
-                    req.request_id: structured.allowed(req.request_id)
+                    req.request_id: structured.mask(req.request_id)
                     for req in sched.decodes
                 }
                 if structured is not None
                 else {}
             )
-            any_structured = any(v is not None for v in allowed_lists.values())
-            any_logprobs = any(
-                req.sampling_params.logprobs is not None for req in sched.decodes
-            )
-            if feed is not None:
-                # lag-1 continuation: tokens/lens live on device, unread
-                feed_last, feed_prev, feed_lens = feed
-                base_args = (feed_last, feed_lens, jnp.asarray(self.block_tables))
-            else:
-                feed_prev = None
-                base_args = (
-                    jnp.asarray(self.last_tokens),
-                    seq_lens,
-                    jnp.asarray(self.block_tables),
-                )
+            struct_rows = [
+                r for r in sched.decodes if gmasks.get(r.request_id) is not None
+            ]
+            free_rows = [
+                r for r in sched.decodes if gmasks.get(r.request_id) is None
+            ]
             sample_args = (
                 jnp.asarray(self.temps),
                 jnp.asarray(self.top_ks),
                 jnp.asarray(self.top_ps),
                 key,
             )
-            if any_structured:
-                from vllm_omni_draft_tpu.core.structured import MAX_ALLOWED
+            bt_dev = jnp.asarray(self.block_tables)
 
-                allowed_ids = np.full((self.B, MAX_ALLOWED), -1, np.int32)
-                allowed_cnt = np.zeros(self.B, np.int32)
-                for req in sched.decodes:
-                    al = allowed_lists.get(req.request_id)
-                    if al:
-                        n = min(len(al), MAX_ALLOWED)
-                        allowed_ids[req.slot, :n] = al[:n]
-                        allowed_cnt[req.slot] = n
-                toks, self.kv_t = self._decode_masked_fn(
-                    self.target_params, self.kv_t, *base_args, *sample_args,
-                    jnp.asarray(allowed_ids), jnp.asarray(allowed_cnt),
+            if free_rows:
+                free_act = np.zeros(self.B, bool)
+                for r in free_rows:
+                    free_act[r.slot] = True
+                if feed is not None:
+                    # lag-1 continuation: tokens/lens live on device,
+                    # unread (streak never includes grammar rows)
+                    feed_last, feed_prev, feed_lens = feed
+                    base_args = (feed_last, feed_lens, bt_dev)
+                else:
+                    feed_prev = None
+                    lens_np = np.where(
+                        free_act & (active == 1), self.seq_lens, 0
+                    )
+                    base_args = (
+                        jnp.asarray(self.last_tokens),
+                        jnp.asarray(lens_np),
+                        bt_dev,
+                    )
+                all_greedy = all(
+                    req.sampling_params.is_greedy for req in free_rows
                 )
+                any_logprobs = any(
+                    req.sampling_params.logprobs is not None for req in free_rows
+                )
+                if any_logprobs and self.K > 0 and self.kv_d is not None:
+                    # spec decode + logprobs COEXIST: the sampled spec
+                    # program already computes per-position target
+                    # distributions; one batch member asking for logprobs
+                    # no longer disables speculation for everyone
+                    prev_arg = (
+                        feed_prev if feed_prev is not None
+                        else jnp.asarray(self.prev_tokens)
+                    )
+                    (toks, num_emitted, lp_vals, lp_ids, lp_chosen,
+                     self.kv_t, self.kv_d, out_feed) = self._spec_logprobs_fn(
+                        self.target_params, self.draft_params,
+                        self.kv_t, self.kv_d, prev_arg, *base_args,
+                        *sample_args
+                    )
 
-                def finish(toks=toks):
+                    def finish_free(toks=toks, num_emitted=num_emitted,
+                                    lp_vals=lp_vals, lp_ids=lp_ids,
+                                    lp_chosen=lp_chosen):
+                        toks_np = np.asarray(toks)      # [B, M, K+1]
+                        n_np = np.asarray(num_emitted)  # [B, M]
+                        vals_np = np.asarray(lp_vals)   # [B, M, K+1, LPK]
+                        ids_np = np.asarray(lp_ids)
+                        chosen_np = np.asarray(lp_chosen)  # [B, M, K+1]
+                        for req in free_rows:
+                            if req.slot < 0:
+                                continue
+                            emitted: list[int] = []
+                            acc = 0
+                            k_lp = req.sampling_params.logprobs
+                            for m in range(self.M):
+                                n = int(n_np[req.slot, m])
+                                step_toks = toks_np[req.slot, m, :n].tolist()
+                                emitted.extend(step_toks)
+                                acc += max(n - 1, 0)
+                                if k_lp is not None:
+                                    for j, t in enumerate(step_toks):
+                                        top = {
+                                            int(i): float(v)
+                                            for i, v in zip(
+                                                ids_np[req.slot, m, j][:k_lp],
+                                                vals_np[req.slot, m, j][:k_lp],
+                                            )
+                                        }
+                                        top[t] = float(
+                                            chosen_np[req.slot, m, j]
+                                        )
+                                        out.logprobs.setdefault(
+                                            req.request_id, []
+                                        ).append(top)
+                            out.new_tokens[req.request_id] = emitted
+                            out.num_accepted[req.request_id] = acc
+                            out.num_draft[req.request_id] = self.K * self.M
+                            self.last_tokens[req.slot] = emitted[-1]
+                            self.seq_lens[req.slot] += len(emitted)
+
+                elif any_logprobs:
+                    toks, lp_vals, lp_ids, lp_chosen, self.kv_t = (
+                        self._decode_logprobs_fn(
+                            self.target_params, self.kv_t, *base_args,
+                            *sample_args
+                        )
+                    )
+
+                    def finish_free(toks=toks, lp_vals=lp_vals, lp_ids=lp_ids,
+                                    lp_chosen=lp_chosen):
+                        toks_np = np.asarray(toks)
+                        vals_np, ids_np = np.asarray(lp_vals), np.asarray(lp_ids)
+                        chosen_np = np.asarray(lp_chosen)
+                        for req in free_rows:
+                            if req.slot < 0:
+                                continue
+                            emitted = toks_np[req.slot].tolist()
+                            out.new_tokens[req.request_id] = emitted
+                            k_lp = req.sampling_params.logprobs
+                            if k_lp is not None:
+                                top = {
+                                    int(i): float(v)
+                                    for i, v in zip(
+                                        ids_np[req.slot][:k_lp],
+                                        vals_np[req.slot][:k_lp],
+                                    )
+                                }
+                                top[emitted[-1]] = float(chosen_np[req.slot])
+                                out.logprobs.setdefault(
+                                    req.request_id, []
+                                ).append(top)
+                            self.last_tokens[req.slot] = emitted[-1]
+                            self.seq_lens[req.slot] += len(emitted)
+
+                elif self.K > 0 and self.kv_d is not None:
+                    prev_arg = (
+                        feed_prev if feed_prev is not None
+                        else jnp.asarray(self.prev_tokens)
+                    )
+                    if all_greedy:
+                        toks, num_emitted, self.kv_t, self.kv_d, out_feed = (
+                            self._spec_greedy_fn(
+                                self.target_params, self.draft_params,
+                                self.kv_t, self.kv_d, prev_arg, *base_args
+                            )
+                        )
+                    else:
+                        toks, num_emitted, self.kv_t, self.kv_d, out_feed = (
+                            self._spec_fn(
+                                self.target_params, self.draft_params,
+                                self.kv_t, self.kv_d, prev_arg, *base_args,
+                                *sample_args
+                            )
+                        )
+
+                    def finish_free(toks=toks, num_emitted=num_emitted):
+                        toks_np = np.asarray(toks)  # [B, M, K+1]
+                        n_np = np.asarray(num_emitted)  # [B, M]
+                        for req in free_rows:
+                            if req.slot < 0:
+                                continue
+                            emitted: list[int] = []
+                            acc = 0
+                            for m in range(self.M):
+                                n = int(n_np[req.slot, m])
+                                emitted.extend(toks_np[req.slot, m, :n].tolist())
+                                acc += max(n - 1, 0)
+                            out.new_tokens[req.request_id] = emitted
+                            out.num_accepted[req.request_id] = acc
+                            out.num_draft[req.request_id] = self.K * self.M
+                            self.last_tokens[req.slot] = emitted[-1]
+                            self.seq_lens[req.slot] += len(emitted)
+
+                else:
+                    if all_greedy:
+                        toks, self.kv_t, out_feed = self._decode_greedy_fn(
+                            self.target_params, self.kv_t, *base_args
+                        )
+                    else:
+                        toks, self.kv_t, out_feed = self._decode_fn(
+                            self.target_params, self.kv_t, *base_args,
+                            *sample_args
+                        )
+
+                    def finish_free(toks=toks):
+                        toks_np = np.asarray(toks)  # [B, M]
+                        for req in free_rows:
+                            if req.slot < 0:
+                                continue
+                            emitted = toks_np[req.slot].tolist()
+                            out.new_tokens[req.request_id] = emitted
+                            self.last_tokens[req.slot] = emitted[-1]
+                            self.seq_lens[req.slot] += len(emitted)
+
+                finishes.append(finish_free)
+
+            if struct_rows:
+                W = -(-self.config.model.vocab_size // 32)
+                mask_words = np.zeros((self.B, W), np.uint32)
+                constrained = np.zeros(self.B, bool)
+                for r in struct_rows:
+                    mask_words[r.slot] = gmasks[r.request_id]
+                    constrained[r.slot] = True
+                lens_np = np.where(constrained, self.seq_lens, 0)
+                toks_s, self.kv_t = self._decode_masked_fn(
+                    self.target_params, self.kv_t,
+                    jnp.asarray(self.last_tokens), jnp.asarray(lens_np),
+                    bt_dev, *sample_args,
+                    jnp.asarray(mask_words), jnp.asarray(constrained),
+                )
+                # the masked program's post-state is incompatible with a
+                # decode-streak continuation
+                out_feed = None
+
+                def finish_struct(toks=toks_s):
                     toks_np = np.asarray(toks)  # [B, 1]
-                    for req in sched.decodes:
+                    for req in struct_rows:
                         if req.slot < 0:
                             continue  # aborted while in flight
                         emitted = toks_np[req.slot].tolist()
@@ -992,102 +1256,11 @@ class ModelRunner:
                         self.last_tokens[req.slot] = emitted[-1]
                         self.seq_lens[req.slot] += len(emitted)
 
-            elif any_logprobs:
-                toks, lp_vals, lp_ids, lp_chosen, self.kv_t = (
-                    self._decode_logprobs_fn(
-                        self.target_params, self.kv_t, *base_args, *sample_args
-                    )
-                )
-
-                def finish(toks=toks, lp_vals=lp_vals, lp_ids=lp_ids,
-                           lp_chosen=lp_chosen):
-                    toks_np = np.asarray(toks)
-                    vals_np, ids_np = np.asarray(lp_vals), np.asarray(lp_ids)
-                    chosen_np = np.asarray(lp_chosen)
-                    for req in sched.decodes:
-                        if req.slot < 0:
-                            continue
-                        emitted = toks_np[req.slot].tolist()
-                        out.new_tokens[req.request_id] = emitted
-                        k_lp = req.sampling_params.logprobs
-                        if k_lp is not None:
-                            top = {
-                                int(i): float(v)
-                                for i, v in zip(
-                                    ids_np[req.slot][:k_lp],
-                                    vals_np[req.slot][:k_lp],
-                                )
-                            }
-                            top[emitted[-1]] = float(chosen_np[req.slot])
-                            out.logprobs.setdefault(req.request_id, []).append(top)
-                        self.last_tokens[req.slot] = emitted[-1]
-                        self.seq_lens[req.slot] += len(emitted)
-
-            elif self.K > 0 and self.kv_d is not None:
-                prev_arg = (
-                    feed_prev if feed_prev is not None
-                    else jnp.asarray(self.prev_tokens)
-                )
-                if all_greedy:
-                    toks, num_emitted, self.kv_t, self.kv_d, out_feed = (
-                        self._spec_greedy_fn(
-                            self.target_params, self.draft_params, self.kv_t,
-                            self.kv_d, prev_arg, *base_args
-                        )
-                    )
-                else:
-                    toks, num_emitted, self.kv_t, self.kv_d, out_feed = (
-                        self._spec_fn(
-                            self.target_params, self.draft_params, self.kv_t,
-                            self.kv_d, prev_arg, *base_args, *sample_args
-                        )
-                    )
-
-                def finish(toks=toks, num_emitted=num_emitted):
-                    toks_np = np.asarray(toks)  # [B, M, K+1]
-                    n_np = np.asarray(num_emitted)  # [B, M]
-                    for req in sched.decodes:
-                        if req.slot < 0:
-                            continue
-                        emitted: list[int] = []
-                        acc = 0
-                        for m in range(self.M):
-                            n = int(n_np[req.slot, m])
-                            emitted.extend(toks_np[req.slot, m, :n].tolist())
-                            acc += max(n - 1, 0)
-                        out.new_tokens[req.request_id] = emitted
-                        out.num_accepted[req.request_id] = acc
-                        out.num_draft[req.request_id] = self.K * self.M
-                        self.last_tokens[req.slot] = emitted[-1]
-                        self.seq_lens[req.slot] += len(emitted)
-
-            else:
-                if all_greedy:
-                    toks, self.kv_t, out_feed = self._decode_greedy_fn(
-                        self.target_params, self.kv_t, *base_args
-                    )
-                else:
-                    toks, self.kv_t, out_feed = self._decode_fn(
-                        self.target_params, self.kv_t, *base_args, *sample_args
-                    )
-
-                def finish(toks=toks):
-                    toks_np = np.asarray(toks)  # [B, M]
-                    for req in sched.decodes:
-                        if req.slot < 0:
-                            continue
-                        emitted = toks_np[req.slot].tolist()
-                        out.new_tokens[req.request_id] = emitted
-                        self.last_tokens[req.slot] = emitted[-1]
-                        self.seq_lens[req.slot] += len(emitted)
-
-        else:
-            finish = None
-            out_feed = None
+                finishes.append(finish_struct)
 
         def resolve():
-            if finish is not None:
-                finish()
+            for fin in finishes:
+                fin()
             self.last_step_time = time.perf_counter() - t0
             return out
 

@@ -69,6 +69,9 @@ class RunnerOutput:
     num_draft: dict[str, int] = field(default_factory=dict)
     # request_id -> top-logprob payloads, aligned with new_tokens
     logprobs: dict[str, list] = field(default_factory=dict)
+    # request_id -> [(prompt_pos, {token: logprob})] for prompt-logprobs
+    # requests (entries cover the positions this step's chunk predicted)
+    prompt_logprobs: dict[str, list] = field(default_factory=dict)
 
 
 class Scheduler:
@@ -352,6 +355,13 @@ class Scheduler:
                 continue
             req.num_computed_tokens += sp.chunk_len
             toks = runner_out.new_tokens.get(req.request_id)
+            plp = runner_out.prompt_logprobs.get(req.request_id)
+            if plp:
+                if req.prompt_logprobs is None:
+                    req.prompt_logprobs = [None] * req.num_prompt_tokens
+                for pos, d in plp:
+                    if 0 < pos < req.num_prompt_tokens:
+                        req.prompt_logprobs[pos] = d
             self.kv.commit_prefix_hashes(req)
             if toks:
                 req.output_token_ids.extend(toks)
@@ -411,6 +421,21 @@ class Scheduler:
             if req in self.running:
                 self.running.remove(req)
             self.kv.free(req)
+
+    def demote_to_recompute(self, req: Request) -> None:
+        """Defensive recovery: drop a request's (unrestorable) KV state and
+        send it back to waiting for full-prefill recomputation. Used when a
+        swap_in order has no matching host KV (crash-restart or scheduler
+        drift) — the request loses its computed tokens but no output."""
+        if req in self.running:
+            self.running.remove(req)
+        self.kv.free(req)
+        self.cpu_blocks_free += self.swapped_out.pop(req.request_id, 0)
+        req.num_computed_tokens = 0
+        req.status = RequestStatus.PREEMPTED
+        req.spec_token_ids.clear()
+        req.record("demoted_to_recompute")
+        self.waiting.appendleft(req)
 
     def finish_request(self, req: Request, status: RequestStatus) -> None:
         req.status = status

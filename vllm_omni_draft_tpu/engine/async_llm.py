@@ -51,6 +51,12 @@ class RequestOutputCollector:
 
 
 class AsyncLLM:
+    """Engine mutations (add/abort) ride an intake queue drained by the
+    engine thread between steps, so `generate()`/`abort()` NEVER wait out
+    a potentially-hundreds-of-ms fused device step (round-2 hardening of
+    the old engine-wide lock), and `encode()` runs its one-shot forward
+    concurrently with decode steps (it touches no engine slot/KV state)."""
+
     def __init__(self, config: EngineConfig, tokenizer=None):
         self.config = config
         self.tokenizer = tokenizer if tokenizer is not None else get_tokenizer(
@@ -60,7 +66,9 @@ class AsyncLLM:
         self.output_processor = OutputProcessor(
             self.tokenizer, abort_fn=self._abort_from_stop
         )
-        self._lock = threading.Lock()
+        # intake ops: ("add", Request, collector) | ("abort", request_id)
+        self._intake: list = []
+        self._intake_lock = threading.Lock()
         self._wakeup = threading.Event()
         self._shutdown = False
         self._loop: asyncio.AbstractEventLoop | None = None
@@ -77,22 +85,42 @@ class AsyncLLM:
             )
             self._thread.start()
 
+    def _submit(self, op: tuple) -> None:
+        with self._intake_lock:
+            self._intake.append(op)
+        self._wakeup.set()
+
+    def _drain_intake(self) -> None:
+        """Engine-thread only: apply queued add/abort ops. Registering the
+        output collector and adding to the scheduler happen together here,
+        so no step can emit tokens for an unregistered request."""
+        with self._intake_lock:
+            ops, self._intake = self._intake, []
+        for op in ops:
+            if op[0] == "add":
+                _, req, collector = op
+                self.engine.add_request(req)
+                self.output_processor.add_request(req, queue=collector)
+            elif op[0] == "abort":
+                self.engine.abort_requests([op[1]])
+                self.output_processor.states.pop(op[1], None)
+
     def _run_engine_loop(self) -> None:
         """The busy loop (reference: `_process_engine_step`,
         `engine_core.md:154-156`), idling when no work is queued."""
         while not self._shutdown:
-            with self._lock:
+            try:
+                self._drain_intake()
                 has_work = (
                     self.engine.has_unfinished() or bool(self.engine.batch_queue)
                 )
                 if has_work:
-                    try:
-                        updated = self.engine.step_fn()
-                        self.output_processor.process_outputs(updated)
-                    except Exception as e:  # propagate to consumers
-                        self._errored = e
-                        self.output_processor.propagate_error(e)
-                        return
+                    updated = self.engine.step_fn()
+                    self.output_processor.process_outputs(updated)
+            except Exception as e:  # propagate to consumers
+                self._errored = e
+                self.output_processor.propagate_error(e)
+                return
             if not has_work:
                 self._wakeup.wait(timeout=0.005)
                 self._wakeup.clear()
@@ -130,10 +158,7 @@ class AsyncLLM:
         req = Request(request_id=rid, prompt_token_ids=ids, sampling_params=sp,
                       mm_inputs=mm_inputs)
         collector = RequestOutputCollector(asyncio.get_running_loop())
-        with self._lock:
-            self.engine.add_request(req)
-            self.output_processor.add_request(req, queue=collector)
-        self._wakeup.set()
+        self._submit(("add", req, collector))
         try:
             while True:
                 out = await collector.get()
@@ -142,16 +167,16 @@ class AsyncLLM:
                     return
         except (asyncio.CancelledError, GeneratorExit):
             # consumer cancelled or closed the stream: abort in-engine
-            with self._lock:
-                self.engine.abort_requests([rid])
-                self.output_processor.states.pop(rid, None)
+            self._submit(("abort", rid))
             raise
 
     async def encode(self, prompt, pooling: str = "mean"):
         """Pooled prompt embedding (reference surface:
         `AsyncLLM.generate()/encode()`, `engine_core.md:187`). Runs the
-        one-shot encode forward off the event loop; the engine lock keeps
-        it serialized with decode steps."""
+        one-shot encode forward off the event loop, CONCURRENT with
+        decode steps — encode touches no slot/KV/scheduler state (its
+        throwaway KV is allocated in-trace) and JAX dispatch is
+        thread-safe, so it no longer waits out a fused decode step."""
         from vllm_omni_draft_tpu.core.request import PoolingRequestOutput
 
         self._ensure_started()
@@ -160,19 +185,15 @@ class AsyncLLM:
         ids = (
             self.tokenizer.encode(prompt) if isinstance(prompt, str) else list(prompt)
         )
-
-        def _run():
-            with self._lock:
-                return self.engine.runner.encode(ids, pooling=pooling)
-
-        data = await asyncio.get_running_loop().run_in_executor(None, _run)
+        data = await asyncio.get_running_loop().run_in_executor(
+            None, lambda: self.engine.runner.encode(ids, pooling=pooling)
+        )
         return PoolingRequestOutput(
             request_id=f"req-{next(_req_counter)}", data=data
         )
 
     async def abort(self, request_id: str) -> None:
-        with self._lock:
-            self.engine.abort_requests([request_id])
+        self._submit(("abort", request_id))
 
     def get_stats(self) -> dict:
         return self.engine.get_stats()

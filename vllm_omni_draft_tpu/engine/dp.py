@@ -45,6 +45,7 @@ class DPEngineGroup:
         if dp_size < 1:
             raise ValueError("dp_size must be >= 1")
         self.dp_size = dp_size
+        self.config = config
         self.clients = [EngineCoreClient(config) for _ in range(dp_size)]
         self.wave = WaveState(in_flight={r: 0 for r in range(dp_size)})
         self._req_rank: dict[str, int] = {}
@@ -115,6 +116,245 @@ class DPEngineGroup:
                 "in_flight": dict(self.wave.in_flight),
             }
 
+    # elastic scaling (reference: "DP coordination, wave management, and
+    # elastic scaling" as EngineCore duties, `engine_core.md:16`)
+
+    def scale_up(self) -> int:
+        """Add one engine replica; returns the new dp_size."""
+        client = EngineCoreClient(self.config)
+        with self._lock:
+            rank = self.dp_size
+            self.clients.append(client)
+            self.wave.in_flight[rank] = 0
+            self.dp_size += 1
+        return self.dp_size
+
+    def scale_down(self) -> int:
+        """Remove the highest-rank replica once it is drained; returns the
+        new dp_size. Refuses to drop below 1 or while the victim has
+        in-flight requests (callers stop routing first, then retry)."""
+        with self._lock:
+            if self.dp_size <= 1:
+                raise ValueError("cannot scale below 1 replica")
+            victim = self.dp_size - 1
+            if self.wave.in_flight.get(victim, 0) > 0:
+                raise RuntimeError(
+                    f"replica {victim} still has "
+                    f"{self.wave.in_flight[victim]} in-flight requests"
+                )
+            client = self.clients.pop()
+            del self.wave.in_flight[victim]
+            self.dp_size -= 1
+        client.shutdown()
+        return self.dp_size
+
     def shutdown(self) -> None:
         for c in self.clients:
             c.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# coordinator as its own process — the reference's DP control plane shape
+# (`VLLM_V1_Interface.md:89-92`: a coordinator proc that replicas publish
+# request counts to, with busy-loop wave sync across processes/hosts). The
+# coordinator proc owns the replica procs; clients talk to it over ZMQ
+# (DCN carries exactly this control plane on a multi-host deployment).
+# ---------------------------------------------------------------------------
+
+_DP_ADD = b"ADD"
+_DP_ABORT = b"ABORT"
+_DP_UTIL = b"UTIL"
+_DP_DOWN = b"DOWN"
+_DP_READY = b"READY"
+_DP_OUT = b"OUT"
+_DP_ERR = b"ERR"
+
+
+def _dp_coordinator_main(config_bytes, dp_size, input_addr, output_addr,
+                         platform):
+    import pickle
+    import traceback
+
+    import jax
+    import zmq
+
+    jax.config.update("jax_platforms", platform)
+    config = pickle.loads(config_bytes)
+    ctx = zmq.Context()
+    in_sock = ctx.socket(zmq.PULL)
+    in_sock.bind(input_addr)
+    out_sock = ctx.socket(zmq.PUSH)
+    out_sock.bind(output_addr)
+    try:
+        group = DPEngineGroup(config, dp_size)
+    except Exception as e:  # noqa: BLE001
+        out_sock.send_multipart(
+            [_DP_ERR, pickle.dumps((type(e).__name__, str(e),
+                                    traceback.format_exc()))]
+        )
+        ctx.destroy(linger=1000)
+        return
+    out_sock.send_multipart([_DP_READY, b""])
+    running = True
+    try:
+        while running:
+            while in_sock.poll(5):
+                kind, payload = in_sock.recv_multipart()
+                if kind == _DP_ADD:
+                    rid, ids, sp = pickle.loads(payload)
+                    group.add_request(rid, ids, sp)
+                elif kind == _DP_ABORT:
+                    for rid in pickle.loads(payload):
+                        group.abort_request(rid)
+                elif kind == _DP_UTIL:
+                    seq, name, args = pickle.loads(payload)
+                    try:
+                        reply = (seq, True, getattr(group, name)(*args))
+                    except Exception as e:  # noqa: BLE001
+                        reply = (seq, False,
+                                 (type(e).__name__, str(e),
+                                  traceback.format_exc()))
+                    out_sock.send_multipart([_DP_UTIL, pickle.dumps(reply)])
+                elif kind == _DP_DOWN:
+                    running = False
+                    break
+            if not running:
+                break
+            outputs, wave_events = group.poll(timeout=0.02)
+            if outputs or wave_events:
+                out_sock.send_multipart(
+                    [_DP_OUT, pickle.dumps((outputs, wave_events))]
+                )
+    except Exception as e:  # noqa: BLE001
+        out_sock.send_multipart(
+            [_DP_ERR, pickle.dumps((type(e).__name__, str(e),
+                                    traceback.format_exc()))]
+        )
+    group.shutdown()
+    ctx.destroy(linger=1000)
+
+
+class DPCoordinatorClient:
+    """Client to a coordinator PROCESS running N engine replicas — the
+    cross-process DP control plane. API mirrors DPEngineGroup; every
+    exchange crosses a process boundary like the reference's
+    coordinator/DPEngineCoreProc split."""
+
+    def __init__(self, config: EngineConfig, dp_size: int):
+        import multiprocessing as mp
+        import pickle
+        import time as _time
+
+        import jax
+        import zmq
+
+        from vllm_omni_draft_tpu.engine.ipc import EngineCoreError
+
+        self._EngineCoreError = EngineCoreError
+        base = f"ipc:///tmp/vot-dpc-{_time.monotonic_ns()}"
+        self.input_addr = f"{base}-in"
+        self.output_addr = f"{base}-out"
+        ctx = mp.get_context("spawn")
+        self.proc = ctx.Process(
+            target=_dp_coordinator_main,
+            args=(pickle.dumps(config), dp_size, self.input_addr,
+                  self.output_addr, jax.default_backend()),
+            daemon=True,
+        )
+        self.proc.start()
+        self.zmq = zmq.Context()
+        self.in_sock = self.zmq.socket(zmq.PUSH)
+        self.in_sock.connect(self.input_addr)
+        self.out_sock = self.zmq.socket(zmq.PULL)
+        self.out_sock.connect(self.output_addr)
+        if not self.out_sock.poll(600_000):
+            raise TimeoutError("DP coordinator did not come up")
+        import pickle as _p
+
+        kind, payload = self.out_sock.recv_multipart()
+        if kind == _DP_ERR:
+            etype, msg, tb = _p.loads(payload)
+            raise EngineCoreError(f"coordinator failed: {etype}: {msg}\n{tb}")
+        assert kind == _DP_READY, kind
+        self._util_seq = 0
+
+    def add_request(self, request_id, prompt_token_ids, sampling_params):
+        import pickle
+
+        self.in_sock.send_multipart(
+            [_DP_ADD,
+             pickle.dumps((request_id, list(prompt_token_ids), sampling_params))]
+        )
+
+    def abort_requests(self, request_ids):
+        import pickle
+
+        self.in_sock.send_multipart([_DP_ABORT, pickle.dumps(list(request_ids))])
+
+    def poll(self, timeout: float = 1.0):
+        """Returns (outputs, wave_events) or ([], []) on timeout; raises
+        on coordinator failure. Utility replies arriving interleaved are
+        stashed for call_utility."""
+        import pickle
+
+        deadline = None if timeout is None else timeout * 1000
+        if not self.out_sock.poll(deadline):
+            if not self.proc.is_alive():
+                raise self._EngineCoreError("DP coordinator process died")
+            return [], []
+        kind, payload = self.out_sock.recv_multipart()
+        if kind == _DP_ERR:
+            etype, msg, tb = pickle.loads(payload)
+            raise self._EngineCoreError(
+                f"coordinator failed: {etype}: {msg}\n{tb}"
+            )
+        if kind == _DP_UTIL:
+            self._pending_util = pickle.loads(payload)
+            return [], []
+        return pickle.loads(payload)
+
+    def call_utility(self, name, *args, timeout: float = 120.0):
+        import pickle
+        import time as _time
+
+        seq = self._util_seq
+        self._util_seq += 1
+        self.in_sock.send_multipart([_DP_UTIL, pickle.dumps((seq, name, args))])
+        # drain until our reply shows up (outputs keep flowing through poll
+        # callers; here we stash non-matching frames is unnecessary since
+        # this client is single-threaded by contract)
+        end = _time.monotonic() + timeout
+        self._stash = getattr(self, "_stash", [])
+        while _time.monotonic() < end:
+            if not self.out_sock.poll(200):
+                if not self.proc.is_alive():
+                    raise self._EngineCoreError("DP coordinator process died")
+                continue
+            kind, payload = self.out_sock.recv_multipart()
+            if kind == _DP_UTIL:
+                got_seq, ok, result = pickle.loads(payload)
+                if got_seq != seq:
+                    continue  # stale (earlier timed-out call)
+                if not ok:
+                    etype, msg, tb = result
+                    raise self._EngineCoreError(f"{etype}: {msg}\n{tb}")
+                return result
+            if kind == _DP_ERR:
+                etype, msg, tb = pickle.loads(payload)
+                raise self._EngineCoreError(f"{etype}: {msg}\n{tb}")
+            self._stash.append(pickle.loads(payload))  # output batch
+        raise TimeoutError(f"utility {name!r} timed out")
+
+    def drain_stash(self):
+        """Output batches that arrived while waiting on a utility."""
+        out, self._stash = getattr(self, "_stash", []), []
+        return out
+
+    def shutdown(self):
+        try:
+            self.in_sock.send_multipart([_DP_DOWN, b""])
+            self.proc.join(timeout=10)
+        finally:
+            if self.proc.is_alive():
+                self.proc.terminate()
+            self.zmq.destroy(linger=0)

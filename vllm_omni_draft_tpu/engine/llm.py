@@ -126,12 +126,15 @@ class LLM:
             parent = children[0]
             outs = []
             cached = 0
+            plp = None
             for idx, child in enumerate(children):
                 o = finals.get(child.request_id)
                 if o is not None and o.outputs:
                     comp = dataclasses.replace(o.outputs[0], index=idx)
                     outs.append(comp)
                     cached = max(cached, o.num_cached_tokens)
+                    if o.prompt_logprobs is not None:
+                        plp = o.prompt_logprobs
             results.append(
                 RequestOutput(
                     request_id=parent.request_id,
@@ -139,6 +142,7 @@ class LLM:
                     outputs=outs,
                     finished=True,
                     num_cached_tokens=cached,
+                    prompt_logprobs=plp,
                 )
             )
         return results

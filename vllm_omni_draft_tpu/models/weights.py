@@ -137,6 +137,93 @@ def param_bytes(params) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
 
 
+def save_hf_checkpoint(
+    params: dict,
+    cfg: ModelConfig,
+    path: str,
+    max_shard_bytes: int | None = None,
+) -> None:
+    """Write a stacked param tree as an HF-format qwen2 checkpoint
+    (config.json + model.safetensors[.index.json]) — the inverse of
+    `load_params`, usable by HF `from_pretrained` too. Multi-shard when
+    `max_shard_bytes` is set (writes the standard index.json). Parity:
+    the reference names "state saving" as an EngineCore duty
+    (`src/doc/engine_core.md:18`)."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    flat: dict[str, np.ndarray] = {}
+
+    def to_np(a) -> np.ndarray:
+        a = jnp.asarray(a)
+        if a.dtype == jnp.bfloat16:  # numpy has no bf16: store raw bits
+            a = jax.lax.bitcast_convert_type(a, jnp.uint16)
+        return np.asarray(a)
+
+    L = cfg.num_layers
+    for key_path, pattern in _HF_LAYER_MAP.items():
+        node = params["layers"]
+        for k in key_path:
+            if not isinstance(node, dict) or k not in node:
+                node = None
+                break
+            node = node[k]
+        if node is None:
+            continue
+        stacked = to_np(node)
+        for i in range(L):
+            flat[pattern.format(i=i)] = stacked[i]
+    flat["model.embed_tokens.weight"] = to_np(params["embed"])
+    flat["model.norm.weight"] = to_np(params["final_norm"])
+    if "lm_head" in params and "w" in params["lm_head"]:
+        flat["lm_head.weight"] = to_np(params["lm_head"]["w"])
+
+    hf_cfg = {
+        "model_type": "qwen2",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "max_position_embeddings": cfg.max_model_len,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=1)
+
+    if max_shard_bytes is None:
+        save_file(flat, os.path.join(path, "model.safetensors"))
+        return
+    # greedy sharding by size, standard HF naming + index
+    shards: list[dict[str, np.ndarray]] = [{}]
+    sizes = [0]
+    for name, arr in flat.items():
+        nb = arr.nbytes
+        if sizes[-1] > 0 and sizes[-1] + nb > max_shard_bytes:
+            shards.append({})
+            sizes.append(0)
+        shards[-1][name] = arr
+        sizes[-1] += nb
+    n = len(shards)
+    weight_map = {}
+    for i, shard in enumerate(shards):
+        fname = f"model-{i + 1:05d}-of-{n:05d}.safetensors"
+        save_file(shard, os.path.join(path, fname))
+        for name in shard:
+            weight_map[name] = fname
+    with open(os.path.join(path, "model.safetensors.index.json"), "w") as f:
+        json.dump(
+            {"metadata": {"total_size": int(sum(sizes))},
+             "weight_map": weight_map},
+            f,
+        )
+
+
 def fuse_projection_stacks(params: dict) -> dict:
     """Concatenate the q/k/v stacks into one "qkv" stack and gate/up into
     one "gate_up" stack (output-dim concat, valid for dense and both

@@ -51,11 +51,17 @@ def _fp8_bits_to_f32(x: jax.Array) -> jax.Array:
     multi-op software cast that dominated the fp8-KV read (measured: fp8 KV
     42% slower than bf16 KV end-to-end; int8, which converts natively, is
     at parity). Instead: sign bit -> bit 31, the 7 exp+mantissa bits ->
-    bits 26..20, i.e. reinterpret with f32's exponent bias. Exact for
-    normals AND subnormals (e=0 rows land on f32 subnormals with the same
-    2^120 ratio); e4m3fn has no inf, and its NaN (0x7f) maps to a finite
-    value — cache data never holds NaN. Caller multiplies by
-    FP8_BIAS_FIX (folded into kv_scale)."""
+    bits 26..20, i.e. reinterpret with f32's exponent bias. Exact for all
+    NORMAL codes. SUBNORMAL codes (exp field 0, 14 codes, |v| <=
+    0.0137*kv_scale) land on f32 denormals, which the TPU VPU flushes to
+    +/-0 — confirmed on real v5e by scripts/fp8_subnormal_probe.py (both
+    this kernel path and the XLA fallback flush identically). Accepted
+    caveat: the flush error (< 0.0137*kv_scale = below e4m3's smallest
+    normal 0.0156) is within the format's own quantization error at that
+    magnitude. e4m3fn has no inf, and its NaN (0x7f) maps to a finite
+    value — kv_to_fp8 clips so cache data never holds NaN (VOT_DEBUG_NAN=1
+    guards the encode side). Caller multiplies by FP8_BIAS_FIX (folded
+    into kv_scale)."""
     u = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.uint32)
     bits = ((u & 0x80) << 24) | ((u & 0x7F) << 20)
     return jax.lax.bitcast_convert_type(bits, jnp.float32)

@@ -25,6 +25,8 @@ to bf16 first, the Pallas kernel dequantizes in-register.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -243,8 +245,23 @@ FP8_MAX = 448.0
 
 def kv_to_fp8(kv: jax.Array, scale: float = 1.0) -> jax.Array:
     """Cast KV to fp8 e4m3 with clipping. `scale` is a static per-model
-    scale (K/V values post-RMSNorm are O(1); e4m3 range is ±448)."""
+    scale (K/V values post-RMSNorm are O(1); e4m3 range is ±448).
+
+    NaN handling: the bit-placement dequant (kv_from_fp8 and the Pallas
+    attention kernels) maps the e4m3fn NaN codes to finite ±480*scale, so
+    a NaN activation entering the KV cache would be silently laundered
+    into a large finite value. VOT_DEBUG_NAN=1 raises at the encode
+    boundary instead (debug mode; adds one reduction per KV write)."""
     x = kv.astype(jnp.float32) * (1.0 / scale)
+    if os.environ.get("VOT_DEBUG_NAN") == "1":
+        def _raise_on_nan(has_nan):
+            if has_nan:
+                raise FloatingPointError(
+                    "NaN activation entering the fp8 KV cache (upstream bug; "
+                    "the bit-placement dequant would launder it to ±480*scale)"
+                )
+
+        jax.debug.callback(_raise_on_nan, jnp.isnan(x).any())
     return jnp.clip(x, -FP8_MAX, FP8_MAX).astype(FP8_DTYPE)
 
 
@@ -255,8 +272,11 @@ def kv_from_fp8(kv: jax.Array, scale: float, dtype=jnp.bfloat16) -> jax.Array:
     the kernels switched to this trick; the XLA fallback paths here get
     the same treatment). Sign -> bit 31, exp+mantissa -> bits 26..20, read
     under f32's exponent bias; the 2^120 bias ratio folds into the scale
-    multiply. Exact for every non-NaN e4m3fn code incl. subnormals
-    (tests/test_pallas.py::test_fp8_bit_placement_dequant_exact)."""
+    multiply. Exact for every NORMAL e4m3fn code
+    (tests/test_pallas.py::test_fp8_bit_placement_dequant_exact); the 14
+    SUBNORMAL codes (|v| <= 0.0137*scale) flush to +/-0 on real TPU VPUs
+    (denormal flush, confirmed by scripts/fp8_subnormal_probe.py) — an
+    accepted error below the format's smallest normal step."""
     u = jax.lax.bitcast_convert_type(kv, jnp.uint8).astype(jnp.uint32)
     bits = ((u & 0x80) << 24) | ((u & 0x7F) << 20)
     f = jax.lax.bitcast_convert_type(bits, jnp.float32)
