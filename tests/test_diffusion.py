@@ -154,3 +154,136 @@ def test_image_gen_processor_end_to_end():
     assert inp2.image_latents.shape == (1, 4, 8, 8)
     out2 = eng.generate([inp2])[0]
     assert out2.pixels.shape == (1, 3, 64, 64)
+
+
+def test_flash_attention_matches_dense():
+    """The chunked online-softmax path must match materialized softmax
+    (the FA3-equivalent for long image+text sequences)."""
+    from vllm_omni_draft_tpu.models.dit import (
+        _attention_dense,
+        _attention_flash,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    B, N, H, Dh = 2, 1400, 4, 16  # N > FLASH_CHUNK and not a multiple
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(rng, i), (B, N, H, Dh))
+        for i in range(3)
+    )
+    mask = jax.random.bernoulli(jax.random.fold_in(rng, 9), 0.9, (B, N))
+    mask = mask.at[:, :8].set(True)  # no fully-masked rows
+    ref = _attention_dense(q, k, v, mask)
+    got = _attention_flash(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dit_long_sequence_uses_flash_path():
+    """A forward with > FLASH_THRESHOLD joint tokens runs (flash path)
+    and produces finite output."""
+    cfg = TINY_DIT
+    params = init_params(cfg)
+    fwd = jax.jit(make_forward(cfg))
+    B, C = 1, 4
+    lat = jax.random.normal(jax.random.PRNGKey(0), (B, C, 64, 80))  # 640 img
+    txt = jax.random.normal(jax.random.PRNGKey(1), (B, 600, 32))   # +600 txt
+    mask = jnp.ones((B, 600), jnp.int32)
+    out = fwd(params, lat, txt, mask, jnp.full((B,), 500.0), jnp.full((B,), 4.0))
+    assert out.shape == (B, C, 64, 80)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_dit_rope_positions_matter():
+    """3-axis rotary: permuting image content across spatial positions
+    must NOT commute with the forward (position-aware attention), unlike
+    a rope-free transformer where patch tokens are permutation-
+    equivariant."""
+    cfg = TINY_DIT
+    params = init_params(cfg)
+    fwd = jax.jit(make_forward(cfg))
+    B, C, H, W = 1, 4, 8, 8
+    lat = jax.random.normal(jax.random.PRNGKey(0), (B, C, H, W))
+    txt = jax.random.normal(jax.random.PRNGKey(1), (B, 4, 32))
+    mask = jnp.ones((B, 4), jnp.int32)
+    t = jnp.full((B,), 500.0)
+    g = jnp.full((B,), 4.0)
+    out = fwd(params, lat, txt, mask, t, g)
+    # flip the image left-right: if positions matter, out(flip) != flip(out)
+    out_flip = fwd(params, lat[:, :, :, ::-1], txt, mask, t, g)
+    assert not np.allclose(
+        np.asarray(out_flip[:, :, :, ::-1]), np.asarray(out), atol=1e-4
+    )
+
+
+def test_dit_diffusers_checkpoint_roundtrip(tmp_path):
+    """Diffusers-format DiT checkpoint: save (multi-shard) -> load ->
+    identical params AND identical forward (the load_diffusers_weights
+    capability, VERDICT r1 item 7)."""
+    from vllm_omni_draft_tpu.models.diffusers_io import (
+        load_dit_weights,
+        save_dit_checkpoint,
+    )
+    import os
+
+    cfg = TINY_DIT
+    params = init_params(cfg)
+    path = str(tmp_path / "transformer")
+    save_dit_checkpoint(params, cfg, path, max_shard_bytes=100_000)
+    shards = [f for f in os.listdir(path) if f.endswith(".safetensors")]
+    assert len(shards) > 1  # sharded + index
+    loaded, cfg2 = load_dit_weights(path, dtype="float32")
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    fwd = make_forward(cfg)
+    B, C = 1, 4
+    lat = jax.random.normal(jax.random.PRNGKey(0), (B, C, 8, 8))
+    txt = jax.random.normal(jax.random.PRNGKey(1), (B, 4, 32))
+    mask = jnp.ones((B, 4), jnp.int32)
+    t = jnp.full((B,), 100.0)
+    g = jnp.full((B,), 4.0)
+    np.testing.assert_array_equal(
+        np.asarray(fwd(params, lat, txt, mask, t, g)),
+        np.asarray(fwd(loaded, lat, txt, mask, t, g)),
+    )
+
+
+def test_vae_diffusers_checkpoint_roundtrip(tmp_path):
+    from vllm_omni_draft_tpu.models.diffusers_io import (
+        load_vae_weights,
+        save_vae_checkpoint,
+    )
+
+    cfg = VAEConfig(latent_channels=4, base_channels=16)
+    vae = VAE(cfg)
+    path = str(tmp_path / "vae")
+    save_vae_checkpoint(vae.params, cfg, path)
+    vae2 = VAE.from_diffusers(path)
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
+    np.testing.assert_array_equal(
+        np.asarray(vae.decode(lat)), np.asarray(vae2.decode(lat))
+    )
+
+
+def test_stage_engine_from_checkpoint_dir(tmp_path):
+    """DiffusionStageEngine(checkpoint_dir=...) loads transformer/ and
+    vae/ components like a diffusers pipeline directory."""
+    from vllm_omni_draft_tpu.models.diffusers_io import (
+        save_dit_checkpoint,
+        save_vae_checkpoint,
+    )
+
+    cfg = TINY_DIT
+    params = init_params(cfg)
+    save_dit_checkpoint(params, cfg, str(tmp_path / "transformer"))
+    vcfg = VAEConfig(latent_channels=4, base_channels=16)
+    save_vae_checkpoint(VAE(vcfg).params, vcfg, str(tmp_path / "vae"))
+
+    eng = DiffusionStageEngine(checkpoint_dir=str(tmp_path))
+    assert eng.cfg.depth == cfg.depth and eng.vae is not None
+    out = eng.generate([ImageGenInputs(
+        height=32, width=32, num_inference_steps=2, seed=0,
+        output_mode=ImageOutputMode.PIXELS_AND_LATENTS,
+    )])[0]
+    assert out.latents.shape == (1, 4, 4, 4)
+    assert out.pixels.shape == (1, 3, 32, 32)

@@ -13,7 +13,13 @@ wrapper (`src/qwen_image_gen/model.py:117-143`) — redesigned idiomatically:
   scan compiles to a single device program);
 - rectified-flow Euler sampling on the reference's linear 1000-scaled
   schedule (`runner_adapter.py:64-68`);
-- classifier-free guidance via a batched cond/uncond forward.
+- classifier-free guidance via a batched cond/uncond forward;
+- 3-axis rotary positions honoring the reference's img_shapes /
+  txt_seq_lens layout (`src/qwen_image/types.py:42-44`);
+- flash-style chunked online-softmax attention above FLASH_THRESHOLD
+  joint tokens (the reference uses FA3 for its DiT,
+  `src/performance_enhancement/test_performance.py:324`);
+- diffusers-format checkpoint loading (models/diffusers_io.py).
 
 The DiffusionStageEngine plugs into the Omni pipeline as a
 `stage_type="diffusion"` stage and returns pooling-style tensor outputs
@@ -23,6 +29,7 @@ The DiffusionStageEngine plugs into the Omni pipeline as a
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -103,6 +110,95 @@ def _timestep_embedding(t: jax.Array, dim: int = 256) -> jax.Array:
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
+def _rope_3d_angles(head_dim: int, positions: jax.Array,
+                    theta: float = 10000.0) -> tuple[jax.Array, jax.Array]:
+    """3-axis rotary angles for the joint image+text sequence.
+
+    Honors the reference's `img_shapes` (frames, H, W) / `txt_seq_lens`
+    rotary layout (`/root/reference/src/qwen_image/types.py:42-44`): the
+    head dim is split into (frame, height, width) bands; image tokens
+    carry their (f, h, w) patch coordinates, text tokens carry
+    (f = max_f + seq_pos, 0, 0) so the text stream is ordered on the
+    frame axis and orthogonal to the spatial axes.
+
+    positions: [N, 3] int32 per-token (f, h, w). Returns (cos, sin) each
+    [N, head_dim//2]."""
+    half = head_dim // 2
+    # band split over the rotary half: frame gets the remainder
+    d_h = half // 3
+    d_w = half // 3
+    d_f = half - d_h - d_w
+    out = []
+    for dim_i, n in ((0, d_f), (1, d_h), (2, d_w)):
+        freqs = theta ** (
+            -jnp.arange(n, dtype=jnp.float32) / max(n, 1)
+        )
+        out.append(positions[:, dim_i, None].astype(jnp.float32) * freqs[None])
+    ang = jnp.concatenate(out, axis=-1)  # [N, half]
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x [B, N, H, D]; cos/sin [N, D//2] (interleaved-pair convention)."""
+    d = x.shape[-1] // 2
+    x1, x2 = x[..., :d], x[..., d:]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+
+
+# above this many joint tokens the materialized [N, N] score matrix is
+# replaced by the chunked online-softmax (flash-style) path
+FLASH_THRESHOLD = 1024
+FLASH_CHUNK = 512
+
+
+def _attention_dense(q, k, v, mask):
+    """Materialized softmax (short sequences): q/k/v [B, N, H, D]."""
+    Dh = q.shape[-1]
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / math.sqrt(Dh)
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    att = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", att, v)
+
+
+def _attention_flash(q, k, v, mask):
+    """Flash-style chunked online-softmax attention (the reference uses
+    FA3 for its DiT, `src/performance_enhancement/test_performance.py:324`):
+    scans KV in chunks carrying (m, l, acc), so peak memory is
+    O(N * CHUNK) instead of O(N^2) and XLA fuses each chunk's
+    score+softmax+pv into one kernel-sized block."""
+    B, N, H, Dh = q.shape
+    scale = 1.0 / math.sqrt(Dh)
+    pad = (-N) % FLASH_CHUNK
+    kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    mp = jnp.pad(mask, ((0, 0), (0, pad)))
+    nc = kp.shape[1] // FLASH_CHUNK
+    kc = kp.reshape(B, nc, FLASH_CHUNK, H, Dh).transpose(1, 0, 2, 3, 4)
+    vc = vp.reshape(B, nc, FLASH_CHUNK, H, Dh).transpose(1, 0, 2, 3, 4)
+    mc = mp.reshape(B, nc, FLASH_CHUNK).transpose(1, 0, 2)
+
+    def chunk(carry, xs):
+        m, l, acc = carry  # [B,H,N,1], [B,H,N,1], [B,H,N,Dh]
+        kj, vj, mj = xs
+        s = jnp.einsum("bnhd,bmhd->bhnm", q, kj) * scale
+        s = jnp.where(mj[:, None, None, :], s, -1e30)
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + p.sum(axis=-1, keepdims=True)
+        acc = acc * corr + jnp.einsum("bhnm,bmhd->bhnd", p, vj)
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((B, H, N, 1), -1e30, q.dtype)
+    l0 = jnp.zeros((B, H, N, 1), q.dtype)
+    a0 = jnp.zeros((B, H, N, Dh), q.dtype)
+    (m, l, acc), _ = jax.lax.scan(chunk, (m0, l0, a0), (kc, vc, mc))
+    out = acc / jnp.maximum(l, 1e-30)
+    return out.transpose(0, 2, 1, 3)  # [B, N, H, Dh]
+
+
 def make_forward(cfg: DiTConfig):
     """forward(params, latents [B,C,H,W], text_embeds [B,T,Dt],
     text_mask [B,T], timestep [B], guidance [B]) -> velocity [B,C,H,W]."""
@@ -125,7 +221,7 @@ def make_forward(cfg: DiTConfig):
         return x.transpose(0, 3, 1, 4, 2, 5).reshape(B, C, hp * P, wp * P)
 
     def layer_fn(carry, lp):
-        x, cond, mask, n_img = carry  # x [B, N, D]; cond [B, D]
+        x, cond, mask, rope_cos, rope_sin = carry  # x [B, N, D]; cond [B, D]
         B, N, _ = x.shape
         mod = (cond @ lp["mod"]["w"].T.astype(dt) + lp["mod"]["b"]).astype(
             jnp.float32
@@ -139,17 +235,20 @@ def make_forward(cfg: DiTConfig):
         q = q.reshape(B, N, H_heads, Dh).astype(jnp.float32)
         k = k.reshape(B, N, H_heads, Dh).astype(jnp.float32)
         v = v.reshape(B, N, H_heads, Dh).astype(jnp.float32)
-        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k) / math.sqrt(Dh)
-        scores = jnp.where(mask[:, None, None, :], scores, -1e30)
-        att = jax.nn.softmax(scores, axis=-1)
-        o = jnp.einsum("bhnm,bmhd->bnhd", att, v).reshape(B, N, -1).astype(dt)
+        q = _apply_rope(q, rope_cos, rope_sin)
+        k = _apply_rope(k, rope_cos, rope_sin)
+        if N > FLASH_THRESHOLD:
+            o = _attention_flash(q, k, v, mask)
+        else:
+            o = _attention_dense(q, k, v, mask)
+        o = o.reshape(B, N, -1).astype(dt)
         x = x + g1[:, None, :].astype(dt) * (o @ lp["proj"]["w"].T.astype(dt))
 
         h = rms_norm(x, jnp.ones((x.shape[-1],), dt), eps)
         h = h * (1 + sc2[:, None, :]).astype(dt) + sh2[:, None, :].astype(dt)
         h = jax.nn.gelu(h @ lp["mlp_up"]["w"].T.astype(dt))
         x = x + g2[:, None, :].astype(dt) * (h @ lp["mlp_down"]["w"].T.astype(dt))
-        return (x, cond, mask, n_img), None
+        return (x, cond, mask, rope_cos, rope_sin), None
 
     def forward(params, latents, text_embeds, text_mask, timestep, guidance):
         B = latents.shape[0]
@@ -157,9 +256,24 @@ def make_forward(cfg: DiTConfig):
         img = img_tok @ params["patch_in"]["w"].T.astype(dt) + params["patch_in"]["b"]
         txt = text_embeds.astype(dt) @ params["text_in"]["w"].T.astype(dt)
         n_img = img.shape[1]
+        n_txt = txt.shape[1]
         x = jnp.concatenate([img, txt], axis=1)  # [B, N, D]
         mask = jnp.concatenate(
             [jnp.ones((B, n_img), bool), text_mask.astype(bool)], axis=1
+        )
+        # rotary layout per the reference's img_shapes/txt_seq_lens fields
+        # (`src/qwen_image/types.py:42-44`): image tokens carry (f, h, w)
+        # patch coordinates (single-frame here: f=0), text tokens follow
+        # on the frame axis at (1 + seq_pos, 0, 0)
+        hp, wp = hw
+        gi = jnp.arange(n_img, dtype=jnp.int32)
+        img_pos = jnp.stack([jnp.zeros_like(gi), gi // wp, gi % wp], axis=1)
+        gt = jnp.arange(n_txt, dtype=jnp.int32)
+        txt_pos = jnp.stack(
+            [gt + 1, jnp.zeros_like(gt), jnp.zeros_like(gt)], axis=1
+        )
+        rope_cos, rope_sin = _rope_3d_angles(
+            Dh, jnp.concatenate([img_pos, txt_pos], axis=0)
         )
         # condition on timestep (+ guidance, reference passes guidance into
         # the transformer — guidance-distilled conditioning)
@@ -170,8 +284,10 @@ def make_forward(cfg: DiTConfig):
         )
         cond = (cond @ params["time_mlp"]["w2"].T.astype(jnp.float32))
 
-        (x, _, _, _), _ = jax.lax.scan(
-            layer_fn, (x, cond.astype(dt), mask, n_img), params["layers"]
+        (x, _, _, _, _), _ = jax.lax.scan(
+            layer_fn,
+            (x, cond.astype(dt), mask, rope_cos, rope_sin),
+            params["layers"],
         )
 
         fm = (
@@ -221,9 +337,22 @@ class DiffusionStageEngine:
     runs the compiled denoise loop, optional VAE decode."""
 
     def __init__(self, stage_config=None, dit_config: DiTConfig | None = None,
-                 vae=None, **_):
-        self.cfg = dit_config or DiTConfig()
-        self.params = jax.jit(lambda: init_params(self.cfg))()
+                 vae=None, checkpoint_dir: str | None = None, **_):
+        if checkpoint_dir is not None:
+            # diffusers-format directory: transformer/ (+ optional vae/)
+            from vllm_omni_draft_tpu.models import diffusers_io, vae as vae_mod
+
+            tdir = os.path.join(checkpoint_dir, "transformer")
+            tdir = tdir if os.path.isdir(tdir) else checkpoint_dir
+            self.params, self.cfg = diffusers_io.load_dit_weights(
+                tdir, cfg=dit_config
+            )
+            vdir = os.path.join(checkpoint_dir, "vae")
+            if vae is None and os.path.isdir(vdir):
+                vae = vae_mod.VAE.from_diffusers(vdir)
+        else:
+            self.cfg = dit_config or DiTConfig()
+            self.params = jax.jit(lambda: init_params(self.cfg))()
         self.vae = vae
         self._denoisers: dict[int, object] = {}
 

@@ -4,8 +4,9 @@ Capability parity with the reference's AutoencoderKLQwenImage use
 (`src/qwen_image/runner_adapter.py:144-160` VAE decode per output_mode;
 `src/qwen_image/processor.py:64-92` VAE encode of input images) — rebuilt
 as a compact JAX conv net: 8x spatial stride, GroupNorm+SiLU resblocks,
-compiled once per shape. Weight loading from a diffusers checkpoint maps
-by layer order (load_diffusers_weights).
+compiled once per shape. Diffusers-format checkpoint IO lives in
+models/diffusers_io.py (`load_vae_weights` / `save_vae_checkpoint`);
+`VAE.from_diffusers(path)` constructs from such a checkpoint.
 """
 
 from __future__ import annotations
@@ -57,11 +58,22 @@ def _upsample2(x):
 class VAE:
     """Random-init VAE with jitted encode/decode. 3 stride-2 stages = 8x."""
 
-    def __init__(self, config: VAEConfig | None = None):
+    def __init__(self, config: VAEConfig | None = None, params: dict | None = None):
         self.cfg = config or VAEConfig()
-        self.params = jax.jit(lambda: self._init())()
+        self.params = params if params is not None else jax.jit(
+            lambda: self._init()
+        )()
         self._decode = jax.jit(self._decode_fn)
         self._encode = jax.jit(self._encode_fn)
+
+    @classmethod
+    def from_diffusers(cls, path: str) -> "VAE":
+        """Construct from a diffusers-format checkpoint directory
+        (models/diffusers_io.load_vae_weights)."""
+        from vllm_omni_draft_tpu.models.diffusers_io import load_vae_weights
+
+        params, cfg = load_vae_weights(path)
+        return cls(cfg, params=params)
 
     def _init(self) -> dict:
         cfg = self.cfg
