@@ -37,7 +37,10 @@ def main():
         k_cache = k_cache.astype(kv_dtype)
         v_cache = v_cache.astype(kv_dtype)
 
-    for B in (8, 16, 32):
+    b_list = tuple(
+        int(x) for x in os.environ.get("B", "8,16,32").split(",")
+    )
+    for B in b_list:
         nb_per = ctx // BS
         bt = np.zeros((B, 32), np.int32)
         rng = np.random.default_rng(0)

@@ -253,3 +253,68 @@ def test_paged_prefill_kernel_interpret_matches_reference(
     # padded query rows are exactly zero
     if num_real < T:
         assert np.all(np.asarray(out)[0, num_real:] == 0.0)
+
+
+@pytest.mark.parametrize("k,p", [(0, 1.0), (8, 1.0), (0, 0.9), (64, 0.95), (3, 0.5)])
+def test_thresholds_kernel_matches_xla_bisection(k, p, monkeypatch):
+    """ops/pallas/rejection.topk_topp_thresholds_pallas must reproduce the
+    XLA bisection's kept set EXACTLY (same math, VMEM-resident)."""
+    import jax.experimental.pallas as pl
+
+    from vllm_omni_draft_tpu.ops import sampling
+    from vllm_omni_draft_tpu.ops.pallas import rejection as rj
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **kw: orig_call(*a, **{**kw, "interpret": True})
+    )
+
+    R, V = 6, 8192
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(R, V)) * 3, jnp.float32)
+    top_k = jnp.full((R,), k, jnp.int32)
+    top_p = jnp.full((R,), p, jnp.float32)
+
+    ref = sampling.apply_top_k_top_p(logits, top_k, top_p)
+
+    sampling.use_pallas_thresholds(rj.topk_topp_thresholds_pallas)
+    try:
+        got = sampling.apply_top_k_top_p(logits, top_k, top_p)
+    finally:
+        sampling.use_pallas_thresholds(None)
+
+    ref_keep = np.asarray(ref) > sampling.NEG_INF / 2
+    got_keep = np.asarray(got) > sampling.NEG_INF / 2
+    # identical kept sets and identical surviving logits
+    np.testing.assert_array_equal(got_keep, ref_keep)
+    np.testing.assert_array_equal(
+        np.asarray(got)[got_keep], np.asarray(ref)[ref_keep]
+    )
+    # (the COMBINED kept set may be < k: top-p prunes inside the top-k
+    # set — same as the XLA fallback)
+
+
+def test_thresholds_kernel_mixed_rows(monkeypatch):
+    """Heterogeneous per-row (k, p), including disabled rows, and a row
+    count that does not divide the kernel's row tile."""
+    import jax.experimental.pallas as pl
+
+    from vllm_omni_draft_tpu.ops import sampling
+    from vllm_omni_draft_tpu.ops.pallas import rejection as rj
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call", lambda *a, **kw: orig_call(*a, **{**kw, "interpret": True})
+    )
+    R, V = 11, 4096
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(R, V)) * 2, jnp.float32)
+    top_k = jnp.asarray(rng.choice([0, 2, 16, 100], size=R), jnp.int32)
+    top_p = jnp.asarray(rng.choice([1.0, 0.3, 0.9], size=R), jnp.float32)
+    ref = sampling.apply_top_k_top_p(logits, top_k, top_p)
+    sampling.use_pallas_thresholds(rj.topk_topp_thresholds_pallas)
+    try:
+        got = sampling.apply_top_k_top_p(logits, top_k, top_p)
+    finally:
+        sampling.use_pallas_thresholds(None)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -259,7 +259,9 @@ class DPCoordinatorClient:
             target=_dp_coordinator_main,
             args=(pickle.dumps(config), dp_size, self.input_addr,
                   self.output_addr, jax.default_backend()),
-            daemon=True,
+            # non-daemonic: the coordinator spawns the engine-replica
+            # processes, and daemonic processes may not have children
+            daemon=False,
         )
         self.proc.start()
         self.zmq = zmq.Context()

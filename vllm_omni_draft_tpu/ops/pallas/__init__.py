@@ -16,16 +16,26 @@ import os
 import jax
 
 
-def install(enable_attention: bool = True, enable_quant: bool = True) -> None:
+def install(enable_attention: bool = True, enable_quant: bool = True,
+            enable_sampler: bool = True) -> None:
     """Register Pallas kernels as the hot-path implementations.
     Env overrides (A/B benchmarking): VOT_DISABLE_PALLAS_ATTN,
-    VOT_DISABLE_PALLAS_QUANT."""
+    VOT_DISABLE_PALLAS_QUANT, VOT_DISABLE_PALLAS_SAMPLER."""
     if jax.default_backend() != "tpu":
         return
     if os.environ.get("VOT_DISABLE_PALLAS_ATTN") == "1":
         enable_attention = False
     if os.environ.get("VOT_DISABLE_PALLAS_QUANT") == "1":
         enable_quant = False
+    if os.environ.get("VOT_DISABLE_PALLAS_SAMPLER") == "1":
+        enable_sampler = False
+    if enable_sampler:
+        from vllm_omni_draft_tpu.ops import sampling
+        from vllm_omni_draft_tpu.ops.pallas.rejection import (
+            topk_topp_thresholds_pallas,
+        )
+
+        sampling.use_pallas_thresholds(topk_topp_thresholds_pallas)
     if enable_attention:
         from vllm_omni_draft_tpu.ops import attention as att
         from vllm_omni_draft_tpu.ops.pallas.paged_attention import (

@@ -1,0 +1,132 @@
+"""Pallas kernels for the sampled-verify (rejection sampling) path.
+
+Capability parity: vLLM's rejection-sampler CUDA kernels (SURVEY.md
+§2.4). The dominant cost of sampled verify is `apply_top_k_top_p`'s
+threshold search: the XLA path bisects with 32 masked reductions over
+the full [B*(K+1), V] logits (56 HBM passes measured end-to-end,
+PERF_NOTES round-1). This kernel loads each row tile into VMEM ONCE and
+runs the *identical* bisection math VMEM-resident — HBM traffic drops
+from ~32 passes to 1 — emitting per-row (top-k threshold, top-p
+unnormalized-exp threshold, row max). The masking + softmax + rejection
+stay in XLA (1-2 fused passes).
+
+Semantics: bit-for-bit the math of ops/sampling.apply_top_k_top_p —
+bf16 comparison image, f32 thresholds, 16 bisection iterations, the
+conservative ties-inclusive invariant (count >= k, mass >= p*denom) —
+so the lossless-rejection distribution tests hold unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ITERS = 16  # bisection iterations (matches ops/sampling._bisect_threshold)
+
+
+def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref):
+    """x_ref [RT, V] bf16; k_ref/p_ref [RT, 1]; outputs [RT, 1] f32.
+
+    All comparisons promote the bf16 image to f32 — EXACTLY the XLA
+    fallback's semantics (`lx >= t` with f32 t promotes), so the kept
+    sets are bit-identical (tests/test_pallas.py thresholds parity)."""
+    x = x_ref[...].astype(jnp.float32)  # f32 image of the bf16 input
+    V = x.shape[-1]
+    row_max = jnp.max(x, axis=-1, keepdims=True)
+    row_min = jnp.min(x, axis=-1, keepdims=True)
+
+    k = k_ref[...]  # [RT, 1] int32 (0 => disabled)
+    keff = jnp.where(k > 0, k, V)
+
+    # ---- top-k: largest t with count{x >= t} >= k ----
+    def body_k(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum((x >= mid).astype(jnp.int32), axis=-1, keepdims=True)
+        ok = cnt >= keff
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(
+        0, ITERS, body_k, (row_min - 1e-3, row_max + 1e-3)
+    )
+    kth = lo
+    kth_ref[...] = kth
+    mx_ref[...] = row_max
+
+    # ---- top-p over unnormalized exp space, masked by keep_k (bf16 e
+    # image, f32-promoted comparisons — the XLA fallback's exact math) --
+    keep_k = x >= kth
+    e = jnp.where(keep_k, jnp.exp(x - row_max), 0.0).astype(jnp.bfloat16)
+    ef = e.astype(jnp.float32)
+    denom = jnp.sum(ef, axis=-1, keepdims=True)
+    emax = jnp.max(ef, axis=-1, keepdims=True)
+    tp = jnp.minimum(p_ref[...], 1.0)
+    target = tp * denom
+
+    def body_p(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        mass = jnp.sum(
+            jnp.where(ef >= mid, ef, 0.0), axis=-1, keepdims=True
+        )
+        ok = mass >= target
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo_p, _ = jax.lax.fori_loop(
+        0, ITERS, body_p, (jnp.zeros_like(emax), emax)
+    )
+    tau_ref[...] = lo_p
+
+
+# row tile: [RT, V] bf16 + bf16 exp image + f32 transients must fit the
+# ~16 MiB VMEM scope; V=152k bf16 is 304 KB/row
+_ROW_TILE = 8
+
+
+@functools.partial(jax.jit, static_argnames=())
+def topk_topp_thresholds_pallas(
+    logits_bf16: jax.Array,  # [R, V] bf16 (the comparison image)
+    top_k: jax.Array,        # [R] int32, 0 => disabled
+    top_p: jax.Array,        # [R] f32, 1.0 => disabled
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (kth [R], tau_u [R], row_max [R]) f32 — the top-k logit
+    threshold, the top-p unnormalized-exp threshold (both ties-inclusive
+    conservative), and the row max used for the exp image."""
+    R, V = logits_bf16.shape
+    RT = min(_ROW_TILE, R)
+    pad = (-R) % RT
+    if pad:
+        logits_bf16 = jnp.pad(logits_bf16, ((0, pad), (0, 0)))
+        top_k = jnp.pad(top_k, ((0, pad),))
+        top_p = jnp.pad(top_p, ((0, pad),), constant_values=1.0)
+    RP = R + pad
+    grid = RP // RT
+
+    kth, tau, mx = pl.pallas_call(
+        _thresholds_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((RT, V), lambda i: (i, 0)),
+            pl.BlockSpec((RT, 1), lambda i: (i, 0)),
+            pl.BlockSpec((RT, 1), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((RT, 1), lambda i: (i, 0)),
+            pl.BlockSpec((RT, 1), lambda i: (i, 0)),
+            pl.BlockSpec((RT, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((RP, 1), jnp.float32),
+            jax.ShapeDtypeStruct((RP, 1), jnp.float32),
+            jax.ShapeDtypeStruct((RP, 1), jnp.float32),
+        ],
+    )(
+        logits_bf16,
+        top_k.reshape(RP, 1).astype(jnp.int32),
+        top_p.reshape(RP, 1).astype(jnp.float32),
+    )
+    return kth[:R, 0], tau[:R, 0], mx[:R, 0]

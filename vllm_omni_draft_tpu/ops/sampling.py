@@ -36,6 +36,17 @@ def _bisect_threshold(values, target_fn, lo, hi, iters=16):
     return lo
 
 
+# Pallas override: VMEM-resident threshold search (set on TPU by
+# ops.pallas.install; ops/pallas/rejection.py). One HBM pass instead of
+# ~32 — the dominant cost of the sampled-verify path.
+_PALLAS_THRESHOLDS = None
+
+
+def use_pallas_thresholds(fn) -> None:
+    global _PALLAS_THRESHOLDS
+    _PALLAS_THRESHOLDS = fn
+
+
 def apply_top_k_top_p(
     logits: jax.Array,  # [B, V] f32
     top_k: jax.Array,  # [B] int32, 0 => disabled
@@ -63,6 +74,18 @@ def apply_top_k_top_p(
     # barrier: materialize the bf16 image; the bisection loop must not
     # fuse into the logits producer (miscompiles — see docstring)
     lx = jax.lax.optimization_barrier(logits.astype(jnp.bfloat16))
+    if _PALLAS_THRESHOLDS is not None and V >= 4096:
+        # kernel path: identical bisection math, VMEM-resident (one HBM
+        # pass); XLA replays only the final comparisons + select
+        kth_k, tau_k, mx_k = _PALLAS_THRESHOLDS(lx, top_k, top_p)
+        # f32-promoted comparisons — identical to both the kernel's math
+        # and the XLA bisection fallback below
+        keep_k = lx >= kth_k[:, None]
+        e = jnp.where(
+            keep_k, jnp.exp(lx.astype(jnp.float32) - mx_k[:, None]), 0.0
+        ).astype(jnp.bfloat16)
+        keep_p = e >= tau_k[:, None]
+        return jnp.where(keep_k & keep_p, logits, NEG_INF)
     row_max = jnp.max(lx, axis=-1, keepdims=True).astype(jnp.float32)
     row_min = jnp.min(lx, axis=-1, keepdims=True).astype(jnp.float32)
 
