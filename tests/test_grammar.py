@@ -313,3 +313,71 @@ def test_wide_allowed_set_no_cap():
     out = llm.generate(["x"], [sp])[0]
     text = out.outputs[0].text
     assert len(text) == 4 and text.endswith(";")
+
+
+# ---------------------------------------------------------------------------
+# EBNF grammars (the third xgrammar surface leg)
+# ---------------------------------------------------------------------------
+
+EBNF_EXPR = r'''
+# arithmetic expressions over single digits, bounded nesting
+root   ::= expr
+expr   ::= term (("+" | "-") term)*
+term   ::= factor (("*" | "/") factor)*
+factor ::= [0-9] | "(" expr ")"
+'''
+
+
+def test_ebnf_compiles_and_matches():
+    from vllm_omni_draft_tpu.core.grammar import (
+        ebnf_to_regex,
+        parse_ebnf,
+    )
+
+    rx = ebnf_to_regex(parse_ebnf(EBNF_EXPR), max_depth=4)
+    for s in ["1", "1+2", "3*(4+5)", "((1))", "9/3-2*4"]:
+        assert re.fullmatch(rx, s), s
+    for s in ["", "1+", "(1", "ab", "1++2"]:
+        assert not re.fullmatch(rx, s), s
+
+
+def test_ebnf_recursion_bound_is_regular_approximation():
+    from vllm_omni_draft_tpu.core.grammar import (
+        compile_regex,
+        ebnf_to_regex,
+        parse_ebnf,
+    )
+
+    rx = ebnf_to_regex(parse_ebnf(EBNF_EXPR), max_depth=3)
+    dfa = compile_regex(rx)
+    ok = dfa.walk_bytes(dfa.start, b"(1+2)")
+    assert ok != 0 and dfa.accept[ok]
+    # nesting deeper than the bound is rejected (documented approximation)
+    deep = b"(((((1)))))"
+    st = dfa.walk_bytes(dfa.start, deep)
+    assert st == 0 or not dfa.accept[st]
+
+
+def test_ebnf_unknown_rule_and_missing_root():
+    from vllm_omni_draft_tpu.core.grammar import ebnf_to_regex, parse_ebnf
+
+    with pytest.raises(ValueError, match="unknown rule"):
+        parse_ebnf('root ::= foo')
+    with pytest.raises(ValueError, match="no rule named"):
+        ebnf_to_regex(parse_ebnf('a ::= "x"'), root="root")
+
+
+def test_ebnf_constrained_generation():
+    from vllm_omni_draft_tpu.core.grammar import EbnfGrammar
+
+    llm = LLM(_config())
+    tok = ByteTokenizer()
+    g = EbnfGrammar(
+        'root ::= "cmd(" arg ")"\narg ::= [a-z]{1,4}', tok
+    )
+    sp = SamplingParams(max_tokens=16, temperature=1.0, grammar=g,
+                        ignore_eos=True, seed=2)
+    out = llm.generate(["run:"], [sp])[0]
+    assert re.fullmatch(r"cmd\([a-z]{1,4}\)", out.outputs[0].text), (
+        out.outputs[0].text
+    )

@@ -625,6 +625,225 @@ class JsonSchemaGrammar(RegexGrammar):
         super().__init__(schema_to_regex(schema, max_depth=max_depth), tokenizer)
 
 
+class EbnfGrammar(RegexGrammar):
+    """Constrain output by an EBNF grammar (the third leg of the
+    xgrammar surface: JSON-schema / regex / EBNF). Rules are expanded
+    from `root` into a single regex with recursion bounded at
+    `max_depth` — a regular approximation: recursive constructs are
+    admitted up to `max_depth` nesting levels and rejected beyond (the
+    DFA state cap guards pathological expansions)."""
+
+    def __init__(self, ebnf: str, tokenizer, root: str = "root",
+                 max_depth: int = 6):
+        self.rules = parse_ebnf(ebnf)
+        super().__init__(
+            ebnf_to_regex(self.rules, root=root, max_depth=max_depth),
+            tokenizer,
+        )
+
+
+# ---------------------------------------------------------------------------
+# EBNF → regex (bounded-recursion expansion)
+# ---------------------------------------------------------------------------
+#
+# Supported EBNF dialect (GBNF-style, as used by llama.cpp / xgrammar):
+#   rule ::= alternation            one per line; '#' comments
+#   alternation: seq ("|" seq)*
+#   seq: item+
+#   item: '"literal"' | [class] | rulename | "(" alternation ")"
+#        with optional postfix ? * + or {m,n}
+
+
+@dataclass
+class _ERef:
+    name: str
+
+
+@dataclass
+class _ELit:
+    text: str
+
+
+@dataclass
+class _EClass:
+    body: str  # raw [...] source including brackets
+
+
+@dataclass
+class _ESeq:
+    items: list
+
+
+@dataclass
+class _EAlt:
+    options: list
+
+
+@dataclass
+class _ERep:
+    node: object
+    suffix: str  # '?', '*', '+' or '{m,n}'
+
+
+class _EbnfParser:
+    def __init__(self, text: str, rule_names: set[str]):
+        self.t = text
+        self.i = 0
+        self.rule_names = rule_names
+
+    def error(self, msg):
+        raise ValueError(f"EBNF error at {self.i}: {msg} in {self.t!r}")
+
+    def ws(self):
+        while self.i < len(self.t) and self.t[self.i] in " \t":
+            self.i += 1
+
+    def parse_alt(self):
+        opts = [self.parse_seq()]
+        self.ws()
+        while self.i < len(self.t) and self.t[self.i] == "|":
+            self.i += 1
+            opts.append(self.parse_seq())
+            self.ws()
+        return opts[0] if len(opts) == 1 else _EAlt(opts)
+
+    def parse_seq(self):
+        items = []
+        while True:
+            self.ws()
+            if self.i >= len(self.t) or self.t[self.i] in "|)":
+                break
+            items.append(self.parse_item())
+        if not items:
+            return _ESeq([])
+        return items[0] if len(items) == 1 else _ESeq(items)
+
+    def parse_item(self):
+        c = self.t[self.i]
+        if c == '"':
+            j = self.i + 1
+            out = []
+            while j < len(self.t) and self.t[j] != '"':
+                if self.t[j] == "\\" and j + 1 < len(self.t):
+                    out.append({"n": "\n", "t": "\t", "r": "\r"}.get(
+                        self.t[j + 1], self.t[j + 1]
+                    ))
+                    j += 2
+                else:
+                    out.append(self.t[j])
+                    j += 1
+            if j >= len(self.t):
+                self.error("unterminated literal")
+            self.i = j + 1
+            node = _ELit("".join(out))
+        elif c == "[":
+            j = self.i + 1
+            while j < len(self.t) and self.t[j] != "]":
+                if self.t[j] == "\\":
+                    j += 1
+                j += 1
+            if j >= len(self.t):
+                self.error("unterminated class")
+            node = _EClass(self.t[self.i: j + 1])
+            self.i = j + 1
+        elif c == "(":
+            self.i += 1
+            node = self.parse_alt()
+            self.ws()
+            if self.i >= len(self.t) or self.t[self.i] != ")":
+                self.error("unclosed group")
+            self.i += 1
+        elif c.isalnum() or c in "_-":
+            j = self.i
+            while j < len(self.t) and (self.t[j].isalnum() or self.t[j] in "_-"):
+                j += 1
+            name = self.t[self.i: j]
+            self.i = j
+            if name not in self.rule_names:
+                self.error(f"unknown rule {name!r}")
+            node = _ERef(name)
+        else:
+            self.error(f"unexpected {c!r}")
+        # postfix repetition
+        if self.i < len(self.t) and self.t[self.i] in "?*+":
+            node = _ERep(node, self.t[self.i])
+            self.i += 1
+        elif self.i < len(self.t) and self.t[self.i] == "{":
+            j = self.t.index("}", self.i)
+            node = _ERep(node, self.t[self.i: j + 1])
+            self.i = j + 1
+        return node
+
+
+def parse_ebnf(text: str) -> dict[str, object]:
+    """Parse GBNF-style rules `name ::= body` into ASTs."""
+    lines = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].rstrip()
+        if line.strip():
+            lines.append(line)
+    # continuation lines (no '::=') append to the previous rule
+    merged: list[str] = []
+    for line in lines:
+        if "::=" in line or not merged:
+            merged.append(line)
+        else:
+            merged[-1] += " " + line.strip()
+    names = set()
+    bodies = {}
+    for line in merged:
+        if "::=" not in line:
+            raise ValueError(f"EBNF line without '::=': {line!r}")
+        name, body = line.split("::=", 1)
+        names.add(name.strip())
+        bodies[name.strip()] = body.strip()
+    return {
+        name: _EbnfParser(body, names).parse_alt()
+        for name, body in bodies.items()
+    }
+
+
+def ebnf_to_regex(rules: dict[str, object], root: str = "root",
+                  max_depth: int = 6) -> str:
+    """Expand the rule graph from `root` into one regex. Rule references
+    expand inline; recursion is admitted up to `max_depth` levels and
+    REJECTED beyond (regular approximation of the CFG)."""
+    if root not in rules:
+        raise ValueError(f"no rule named {root!r}")
+
+    def conv(node, stack: dict[str, int]) -> str:
+        if isinstance(node, _ERef):
+            n = stack.get(node.name, 0)
+            if n >= max_depth:
+                # recursion beyond the bound: this branch contributes no
+                # strings (regular approximation) — emit a never-matching
+                # atom; compile_regex prunes it as a dead alternative
+                return "[^\\x00-\\xff]"
+            body = conv(
+                rules[node.name], {**stack, node.name: n + 1}
+            )
+            return "(" + body + ")"
+        if isinstance(node, _ELit):
+            return _regex_escape(node.text)
+        if isinstance(node, _EClass):
+            return node.body
+        if isinstance(node, _ESeq):
+            return "".join(conv(i, stack) for i in node.items)
+        if isinstance(node, _EAlt):
+            return "(" + "|".join(conv(o, stack) for o in node.options) + ")"
+        if isinstance(node, _ERep):
+            return "(" + conv(node.node, stack) + ")" + node.suffix
+        raise TypeError(node)
+
+    out = conv(rules[root], {root: 1})
+    if len(out) > 500_000:
+        raise ValueError(
+            f"EBNF expansion too large ({len(out)} chars) — lower "
+            "max_depth or simplify the grammar"
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # JSON schema → regex
 # ---------------------------------------------------------------------------
