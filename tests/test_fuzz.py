@@ -35,11 +35,21 @@ def _invariants(engine: EngineCore):
     # runner slots: one per running-resident request
     slots = [r.slot for r in sched.running if r.slot >= 0]
     assert len(slots) == len(set(slots)), "slot double-assignment"
+    # host swap pool conservation: free + held == capacity, and the
+    # engine's stored payloads track the scheduler's accounting
+    cap = sched.cache_config.num_cpu_blocks
+    held = sum(sched.swapped_out.values())
+    assert sched.cpu_blocks_free + held == cap, (
+        sched.cpu_blocks_free, held, cap
+    )
+    assert set(engine._swap_store.keys()) >= set(sched.swapped_out.keys())
 
 
-@pytest.mark.parametrize("spec", [False, True])
-def test_fuzz_engine(spec):
-    rng = np.random.default_rng(0 if not spec else 1)
+@pytest.mark.parametrize("spec,seed", [
+    (False, 0), (True, 1), (False, 7), (True, 11),
+])
+def test_fuzz_engine(spec, seed):
+    rng = np.random.default_rng(seed)
     speculative = None
     if spec:
         speculative = SpeculativeConfig(
@@ -109,3 +119,66 @@ def test_fuzz_engine(spec):
     assert engine.scheduler.kv.num_free_blocks == 39  # 40 minus null block
     # all slots free
     assert sorted(engine.runner.free_slots) == [0, 1, 2]
+    # host swap pool fully reclaimed
+    assert engine.scheduler.cpu_blocks_free == 12
+    assert not engine.scheduler.swapped_out and not engine._swap_store
+
+
+def test_fuzz_preemption_swap_preserves_greedy_outputs():
+    """The strongest invariant: a greedy request's tokens must be
+    IDENTICAL whether or not it was preempted/swapped/recomputed along
+    the way. Stress a tiny pool, then replay every greedy request in an
+    unconstrained engine and compare token-for-token."""
+    rng = np.random.default_rng(42)
+
+    def _model():
+        return ModelConfig.tiny(vocab_size=258, max_model_len=96)
+
+    stressed = EngineCore(EngineConfig(
+        model=_model(),
+        # pool so tight that decode growth forces evictions: 3 residents
+        # x (prompt + up to 28 generated) >> 15 usable blocks
+        cache=CacheConfig(block_size=4, num_blocks=16, num_cpu_blocks=6),
+        scheduler=SchedulerConfig(max_num_seqs=3, max_num_batched_tokens=32,
+                                  prefill_buckets=(16, 32)),
+        seed=0,
+    ))
+    prompts: dict[str, list[int]] = {}
+    sps: dict[str, SamplingParams] = {}
+    for i in range(10):
+        rid = f"g{i}"
+        prompts[rid] = rng.integers(1, 250, size=int(rng.integers(2, 16))).tolist()
+        sps[rid] = SamplingParams(
+            max_tokens=int(rng.integers(8, 28)), temperature=0.0,
+            ignore_eos=True,
+        )
+        stressed.add_request(Request(
+            request_id=rid, prompt_token_ids=prompts[rid],
+            sampling_params=sps[rid],
+        ))
+    for _ in range(500):
+        if not stressed.has_unfinished():
+            break
+        stressed.step()
+        _invariants(stressed)
+    assert not stressed.has_unfinished()
+    assert stressed.scheduler.stats.num_preempted_total > 0  # stress real
+
+    calm = EngineCore(EngineConfig(
+        model=_model(),
+        cache=CacheConfig(block_size=4, num_blocks=256),
+        scheduler=SchedulerConfig(max_num_seqs=10, max_num_batched_tokens=128,
+                                  prefill_buckets=(16, 64)),
+        seed=0,
+    ))
+    for rid in prompts:
+        calm.add_request(Request(
+            request_id=rid, prompt_token_ids=prompts[rid],
+            sampling_params=sps[rid],
+        ))
+    while calm.has_unfinished():
+        calm.step()
+    for rid in prompts:
+        got = stressed.scheduler.requests[rid].output_token_ids
+        want = calm.scheduler.requests[rid].output_token_ids
+        assert got == want, (rid, got, want)
