@@ -294,3 +294,66 @@ def test_api_server_models_and_embeddings(async_llm):
         srv.close()
 
     asyncio.run(run())
+
+
+def test_api_server_response_format_json_schema(async_llm):
+    """OpenAI structured-output surface: response_format json_schema
+    yields schema-valid JSON from the API."""
+    async def run():
+        from vllm_omni_draft_tpu.entrypoints.api_server import serve
+
+        srv = await serve(async_llm, host="127.0.0.1", port=0)
+        port = srv.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        body = json.dumps({
+            "prompt": "emit json:",
+            "max_tokens": 48,
+            "temperature": 0.0,
+            "response_format": {
+                "type": "json_schema",
+                "json_schema": {"schema": {
+                    "type": "object",
+                    "properties": {"ok": {"type": "boolean"},
+                                   "n": {"enum": [1, 2]}},
+                    "required": ["ok", "n"],
+                }},
+            },
+        }).encode()
+        writer.write(
+            b"POST /v1/completions HTTP/1.1\r\nHost: x\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+        await writer.drain()
+        raw = await reader.read()
+        writer.close()
+        srv.close()
+        _, _, payload = raw.partition(b"\r\n\r\n")
+        return json.loads(payload)
+
+    resp = asyncio.run(run())
+    doc = json.loads(resp["choices"][0]["text"])
+    assert isinstance(doc["ok"], bool) and doc["n"] in (1, 2)
+
+
+def test_api_server_bad_response_format(async_llm):
+    async def run():
+        from vllm_omni_draft_tpu.entrypoints.api_server import serve
+
+        srv = await serve(async_llm, host="127.0.0.1", port=0)
+        port = srv.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        body = json.dumps({
+            "prompt": "x", "response_format": {"type": "yaml"},
+        }).encode()
+        writer.write(
+            b"POST /v1/completions HTTP/1.1\r\nHost: x\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+        await writer.drain()
+        raw = await reader.read()
+        writer.close()
+        srv.close()
+        return raw
+
+    raw = asyncio.run(run())
+    assert b"400" in raw.split(b"\r\n")[0]

@@ -10,8 +10,12 @@ Endpoints:
   GET  /stats
   GET  /v1/models
   POST /v1/completions        {prompt, max_tokens, temperature, top_p,
-                               top_k, stop, stream}
+                               top_k, stop, stream, logprobs,
+                               prompt_logprobs, response_format}
   POST /v1/chat/completions   {messages, ...same params}
+`response_format`: {"type": "json_schema", "json_schema": {"schema":
+{...}}} | {"type": "regex", "pattern": "..."} | {"type": "ebnf",
+"grammar": "..."} — grammar-constrained decoding (core/grammar.py).
   POST /v1/embeddings         {input: str | [str], pooling}
 SSE streaming (`data: {...}\n\n`, terminated by `data: [DONE]`).
 """
@@ -27,11 +31,43 @@ from vllm_omni_draft_tpu.core.request import OutputKind, SamplingParams
 from vllm_omni_draft_tpu.engine.async_llm import AsyncLLM
 
 
-def _sampling_from_body(body: dict) -> SamplingParams:
+def _grammar_from_body(body: dict, tokenizer):
+    """OpenAI structured-output surface: response_format json_schema /
+    regex / ebnf (grammar-constrained decoding, core/grammar.py)."""
+    rf = body.get("response_format")
+    if not rf:
+        return None
+    kind = rf.get("type")
+    if kind in (None, "text"):
+        return None
+    from vllm_omni_draft_tpu.core.grammar import (
+        EbnfGrammar,
+        JsonSchemaGrammar,
+        RegexGrammar,
+    )
+
+    if kind == "json_schema":
+        schema = (rf.get("json_schema") or {}).get("schema") or rf.get("schema")
+        if not schema:
+            raise ValueError("response_format.json_schema.schema required")
+        return JsonSchemaGrammar(schema, tokenizer)
+    if kind == "regex":
+        if not rf.get("pattern"):
+            raise ValueError("response_format.pattern required")
+        return RegexGrammar(rf["pattern"], tokenizer)
+    if kind == "ebnf":
+        if not rf.get("grammar"):
+            raise ValueError("response_format.grammar required")
+        return EbnfGrammar(rf["grammar"], tokenizer)
+    raise ValueError(f"unsupported response_format type {kind!r}")
+
+
+def _sampling_from_body(body: dict, tokenizer=None) -> SamplingParams:
     stop = body.get("stop") or ()
     if isinstance(stop, str):
         stop = (stop,)
     lp = body.get("logprobs")
+    plp = body.get("prompt_logprobs")
     return SamplingParams(
         n=int(body.get("n", 1)),
         max_tokens=int(body.get("max_tokens", 128)),
@@ -41,6 +77,8 @@ def _sampling_from_body(body: dict) -> SamplingParams:
         stop=tuple(stop),
         seed=body.get("seed"),
         logprobs=int(lp) if lp else None,
+        prompt_logprobs=int(plp) if plp else None,
+        grammar=_grammar_from_body(body, tokenizer),
         output_kind=OutputKind.DELTA if body.get("stream") else OutputKind.CUMULATIVE,
     )
 
@@ -156,7 +194,7 @@ class ApiServer:
             prompt = body.get("prompt")
             if prompt is None:
                 raise ValueError("prompt required")
-        sp = _sampling_from_body(body)
+        sp = _sampling_from_body(body, self.llm.tokenizer)
         rid = f"cmpl-{uuid.uuid4().hex[:16]}"
         created = int(time.time())
         stream = bool(body.get("stream"))

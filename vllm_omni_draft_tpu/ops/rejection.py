@@ -14,8 +14,13 @@ The output distribution is *exactly* the target-only sampling distribution —
 including the greedy case, where `compute_probs` makes p one-hot and the
 rule degenerates to "accept while the draft token equals the target argmax".
 
-Capability parity: vLLM's rejection-sampler kernels (SURVEY.md §2.4);
-the Pallas fused kernel (ops/pallas/rejection.py) overrides this on TPU.
+Capability parity: vLLM's rejection-sampler kernels (SURVEY.md §2.4).
+The acceptance rule itself is cheap XLA (gathers + cumprod over [B, K]);
+the expensive part of the sampled-verify path — the top-k/top-p
+threshold search inside `compute_probs` — runs as the Pallas
+VMEM-resident kernel in ops/pallas/rejection.py on TPU (one HBM pass
+instead of ~32). A fully fused accept+resample kernel remains available
+through the `rejection_sample_dispatch` hook below.
 """
 
 from __future__ import annotations
