@@ -97,7 +97,10 @@ def _engine_proc_main(
             # when idle)
             timeout = 0 if engine.has_unfinished() else 50
             while in_sock.poll(timeout):
-                kind, payload = in_sock.recv_multipart()
+                frames = in_sock.recv_multipart()
+                if len(frames) != 2:  # malformed wire input is not fatal
+                    continue
+                kind, payload = frames
                 if kind == ADD:
                     req_data = pickle.loads(payload)
                     engine.add_request(Request(**req_data))
@@ -189,6 +192,12 @@ class EngineCoreClient:
         self._util_seq = 0
         self._util_lock = threading.Lock()
         self._util_pending: dict[int, queue.Queue] = {}
+        # ZMQ sockets are not thread-safe: concurrent send_multipart from
+        # two threads interleaves message PARTS, which the engine proc
+        # then receives as one merged >2-frame multipart (observed as
+        # "too many values to unpack" in _engine_proc_main). Every send
+        # goes through this lock.
+        self._send_lock = threading.Lock()
         self._io_thread = threading.Thread(
             target=self._output_loop, daemon=True, name="engine-output-io"
         )
@@ -245,10 +254,14 @@ class EngineCoreClient:
         if self.error is not None:
             raise self.error
 
+    def _send(self, frames: list[bytes]) -> None:
+        with self._send_lock:
+            self.in_sock.send_multipart(frames)
+
     def add_request(self, request_id: str, prompt_token_ids: list[int],
                     sampling_params) -> None:
         self._check()
-        self.in_sock.send_multipart([
+        self._send([
             ADD,
             pickle.dumps(
                 dict(
@@ -261,7 +274,7 @@ class EngineCoreClient:
 
     def abort_requests(self, request_ids: list[str]) -> None:
         self._check()
-        self.in_sock.send_multipart([ABORT, pickle.dumps(list(request_ids))])
+        self._send([ABORT, pickle.dumps(list(request_ids))])
 
     def call_utility(self, name: str, *args, timeout: float = 60.0):
         """Sequence-correlated utility RPC: concurrent callers each get
@@ -272,7 +285,7 @@ class EngineCoreClient:
             seq = self._util_seq
             self._util_seq += 1
             self._util_pending[seq] = q
-        self.in_sock.send_multipart([UTILITY, pickle.dumps((seq, name, args))])
+        self._send([UTILITY, pickle.dumps((seq, name, args))])
         try:
             got = q.get(timeout=timeout)
         except queue.Empty:
@@ -301,7 +314,7 @@ class EngineCoreClient:
 
     def shutdown(self) -> None:
         try:
-            self.in_sock.send_multipart([SHUTDOWN, b""])
+            self._send([SHUTDOWN, b""])
             self.proc.join(timeout=5)
         except Exception:
             pass

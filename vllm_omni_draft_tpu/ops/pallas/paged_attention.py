@@ -43,6 +43,14 @@ NEG_INF = -1e30
 # value is 2^-120 of the true one; folded into the kv_scale multiply.
 FP8_BIAS_FIX = 2.0 ** 120
 
+# Flat KV scratch layout ([CHUNK_T, Hkv*D] instead of [CHUNK_T, Hkv, D]):
+# keeps the VMEM scratch tile-aligned for 1-byte KV dtypes. Resolved at
+# import so the jit cache stays consistent within a process; per-call
+# override via flat_kv=.
+import os as _os
+
+FLAT_KV_DEFAULT = _os.environ.get("VOT_ATTN_FLAT", "0") == "1"
+
 
 def _fp8_bits_to_f32(x: jax.Array) -> jax.Array:
     """e4m3fn -> f32 * 2^-120 via integer bit placement.
@@ -92,6 +100,7 @@ def _kernel(
     deq: bool,
     fp8: bool,
     full_cache: bool,
+    flat: bool,
 ):
     g = pl.program_id(0)
     CHUNK_T = CHUNK_BLOCKS * BS
@@ -177,13 +186,26 @@ def _kernel(
             wait_load(c, slot)
             if fp8:
                 k = _fp8_bits_to_f32(kbuf[slot])  # [BQ, CHUNK_T, Hkv, D]
-                v = _fp8_bits_to_f32(vbuf[slot])
+                v = _fp8_bits_to_f32(vbuf[slot])  # (flat: [BQ, CHUNK_T, Hkv*D])
             else:
                 k = kbuf[slot].astype(jnp.float32)
                 v = vbuf[slot].astype(jnp.float32)
             if deq:
                 k = k * kv_scale
                 v = v * kv_scale
+
+            def khead(sq, h):
+                # flat layout keeps the scratch's trailing dims (CHUNK_T,
+                # Hkv*D) tile-aligned for 1-byte KV; a head is a lane-dim
+                # slice at a 128-multiple offset (cheap on TPU)
+                if flat:
+                    return k[sq, :, h * D:(h + 1) * D]
+                return k[sq, :, h, :]
+
+            def vhead(sq, h):
+                if flat:
+                    return v[sq, :, h * D:(h + 1) * D]
+                return v[sq, :, h, :]
 
             # per-(seq, head) scores stacked: [BQ, Hkv, GTP, CHUNK_T]
             s = jnp.stack(
@@ -192,7 +214,7 @@ def _kernel(
                         [
                             jax.lax.dot_general(
                                 q[sq, h],
-                                k[sq, :, h, :],
+                                khead(sq, h),
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                             )
@@ -217,7 +239,7 @@ def _kernel(
                         [
                             jax.lax.dot_general(
                                 p[sq, h],
-                                v[sq, :, h, :],
+                                vhead(sq, h),
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                             )
@@ -245,7 +267,10 @@ _KV_SCRATCH_BUDGET = 12 * 1024 * 1024
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "kv_scale", "chunk_blocks", "seqs_per_program")
+    jax.jit,
+    static_argnames=(
+        "scale", "kv_scale", "chunk_blocks", "seqs_per_program", "flat_kv"
+    ),
 )
 def paged_attention_pallas(
     q: jax.Array,  # [B, T, Hq, D]
@@ -258,6 +283,7 @@ def paged_attention_pallas(
     chunk_blocks: int | None = None,
     seqs_per_program: int | None = None,
     layer: jax.Array | None = None,  # required when cache is 5-D
+    flat_kv: bool | None = None,
 ) -> jax.Array:
     B, T, Hq, D = q.shape
     full_cache = k_cache.ndim == 5
@@ -275,6 +301,16 @@ def paged_attention_pallas(
         kv_scale = quant_ops.kv8_dequant_factor(kv_scale)
     if fp8:  # bit-placement dequant reads values scaled by 2^-120
         kv_scale = kv_scale * FP8_BIAS_FIX
+    if flat_kv is None:
+        flat_kv = FLAT_KV_DEFAULT
+    if flat_kv:
+        # collapse (Hkv, D) -> (Hkv*D,): the trailing dims are contiguous
+        # so the HBM reshape is a free bitcast, and the VMEM scratch's
+        # tiled trailing dims become (CHUNK_T, Hkv*D) — exact multiples of
+        # every dtype's (sublane, 128) tile. The nested (Hkv=4, D=128)
+        # layout pads the sublane dim 4 -> 16/32 for 2-/1-byte dtypes.
+        k_cache = k_cache.reshape(*k_cache.shape[:-2], Hkv * D)
+        v_cache = v_cache.reshape(*v_cache.shape[:-2], Hkv * D)
 
     if chunk_blocks is None:
         chunk_blocks = max(1, 128 // BS)
@@ -325,7 +361,9 @@ def paged_attention_pallas(
         deq=fp8 or i8 or kv_scale != 1.0,
         fp8=fp8,
         full_cache=full_cache,
+        flat=flat_kv,
     )
+    kv_scratch_dims = (CHUNK_T, Hkv * D) if flat_kv else (CHUNK_T, Hkv, D)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(BP // BQ,),
@@ -342,8 +380,8 @@ def paged_attention_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, BQ, CHUNK_T, Hkv, D), k_cache.dtype),
-            pltpu.VMEM((2, BQ, CHUNK_T, Hkv, D), v_cache.dtype),
+            pltpu.VMEM((2, BQ, *kv_scratch_dims), k_cache.dtype),
+            pltpu.VMEM((2, BQ, *kv_scratch_dims), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2, BQ, chunk_blocks)),
         ],
     )
@@ -397,6 +435,7 @@ def _prefill_kernel(
     deq: bool,
     fp8: bool,
     full_cache: bool,
+    flat: bool,
 ):
     qt = pl.program_id(0)
     CHUNK_T = CHUNK_BLOCKS * BS
@@ -469,7 +508,7 @@ def _prefill_kernel(
             wait_load(c, slot)
             if fp8:
                 k = _fp8_bits_to_f32(kbuf[slot])  # [CHUNK_T, Hkv, D]
-                v = _fp8_bits_to_f32(vbuf[slot])
+                v = _fp8_bits_to_f32(vbuf[slot])  # (flat: [CHUNK_T, Hkv*D])
             else:
                 k = kbuf[slot].astype(jnp.float32)
                 v = vbuf[slot].astype(jnp.float32)
@@ -477,10 +516,16 @@ def _prefill_kernel(
                 k = k * kv_scale
                 v = v * kv_scale
 
+            def khead(h):
+                return k[:, h * D:(h + 1) * D] if flat else k[:, h, :]
+
+            def vhead(h):
+                return v[:, h * D:(h + 1) * D] if flat else v[:, h, :]
+
             s = jnp.stack(
                 [
                     jax.lax.dot_general(
-                        q[h], k[:, h, :], (((1,), (1,)), ((), ())),
+                        q[h], khead(h), (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
                     for h in range(Hkv)
@@ -498,7 +543,7 @@ def _prefill_kernel(
             pv = jnp.stack(
                 [
                     jax.lax.dot_general(
-                        p[h], v[:, h, :], (((1,), (0,)), ((), ())),
+                        p[h], vhead(h), (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
                     for h in range(Hkv)
@@ -519,7 +564,7 @@ _PREFILL_TQ = 128
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "kv_scale", "chunk_blocks")
+    jax.jit, static_argnames=("scale", "kv_scale", "chunk_blocks", "flat_kv")
 )
 def paged_prefill_pallas(
     q: jax.Array,  # [1, T, Hq, D]
@@ -532,6 +577,7 @@ def paged_prefill_pallas(
     kv_scale: float = 1.0,
     chunk_blocks: int | None = None,
     layer: jax.Array | None = None,
+    flat_kv: bool | None = None,
 ) -> jax.Array:
     _, T, Hq, D = q.shape
     full_cache = k_cache.ndim == 5
@@ -547,6 +593,11 @@ def paged_prefill_pallas(
         kv_scale = quant_ops.kv8_dequant_factor(kv_scale)
     if fp8:  # bit-placement dequant reads values scaled by 2^-120
         kv_scale = kv_scale * FP8_BIAS_FIX
+    if flat_kv is None:
+        flat_kv = FLAT_KV_DEFAULT
+    if flat_kv:  # see paged_attention_pallas: tile-aligned KV scratch
+        k_cache = k_cache.reshape(*k_cache.shape[:-2], Hkv * D)
+        v_cache = v_cache.reshape(*v_cache.shape[:-2], Hkv * D)
 
     if chunk_blocks is None:
         chunk_blocks = max(1, 128 // BS)
@@ -577,7 +628,9 @@ def paged_prefill_pallas(
         deq=fp8 or i8 or kv_scale != 1.0,
         fp8=fp8,
         full_cache=full_cache,
+        flat=flat_kv,
     )
+    kv_scratch_dims = (CHUNK_T, Hkv * D) if flat_kv else (CHUNK_T, Hkv, D)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(TP // TQ,),
@@ -594,8 +647,8 @@ def paged_prefill_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK_T, Hkv, D), k_cache.dtype),
-            pltpu.VMEM((2, CHUNK_T, Hkv, D), v_cache.dtype),
+            pltpu.VMEM((2, *kv_scratch_dims), k_cache.dtype),
+            pltpu.VMEM((2, *kv_scratch_dims), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2, chunk_blocks)),
         ],
     )
