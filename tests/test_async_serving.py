@@ -296,6 +296,38 @@ def test_api_server_models_and_embeddings(async_llm):
     asyncio.run(run())
 
 
+def test_api_server_metrics_prometheus(async_llm):
+    """GET /metrics serves Prometheus text exposition of engine stats."""
+    async def run():
+        from vllm_omni_draft_tpu.entrypoints.api_server import serve
+
+        srv = await serve(async_llm, host="127.0.0.1", port=0)
+        port = srv.sockets[0].getsockname()[1]
+        # generate something so counters move
+        sp = SamplingParams(max_tokens=4, temperature=0.0)
+        async for _ in async_llm.generate("metrics probe", sp):
+            pass
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(b"GET /metrics HTTP/1.1\r\nHost: x\r\n\r\n")
+        await writer.drain()
+        raw = await reader.read()
+        writer.close()
+        srv.close()
+        head, _, payload = raw.partition(b"\r\n\r\n")
+        assert b" 200 " in head.split(b"\r\n")[0]
+        assert b"text/plain" in head
+        text = payload.decode()
+        for metric in ("vot_num_requests_running",
+                       "vot_kv_cache_usage_perc",
+                       "vot_spec_decode_acceptance_rate"):
+            assert f"# TYPE {metric} gauge" in text
+            assert any(
+                ln.startswith(metric + " ") for ln in text.splitlines()
+            ), metric
+
+    asyncio.run(run())
+
+
 def test_api_server_response_format_json_schema(async_llm):
     """OpenAI structured-output surface: response_format json_schema
     yields schema-valid JSON from the API."""

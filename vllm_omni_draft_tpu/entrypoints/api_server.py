@@ -131,6 +131,48 @@ class ApiServer:
                 "kv_usage": stats["scheduler"].kv_usage,
                 "spec_acceptance": stats["spec_decode"].acceptance_rate,
             })
+        if method == "GET" and path == "/metrics":
+            # Prometheus text exposition of the engine stats taxonomy
+            # (reference surface: vLLM's /metrics endpoint; stats fields
+            # per SURVEY.md §5 / engine_core.md:192-206)
+            stats = self.llm.get_stats()
+            sch, spec = stats["scheduler"], stats["spec_decode"]
+            lines = []
+
+            def gauge(name, value, help_text):
+                lines.append(f"# HELP vot_{name} {help_text}")
+                lines.append(f"# TYPE vot_{name} gauge")
+                lines.append(f"vot_{name} {value}")
+
+            gauge("num_requests_running", sch.num_running,
+                  "Requests currently scheduled")
+            gauge("num_requests_waiting", sch.num_waiting,
+                  "Requests queued for admission")
+            gauge("num_preemptions_total", sch.num_preempted_total,
+                  "Cumulative scheduler preemptions")
+            gauge("kv_cache_usage_perc", sch.kv_usage,
+                  "Fraction of KV blocks in use")
+            gauge("prefix_cache_hit_tokens", sch.prefix_cache_hit_tokens,
+                  "Cumulative prompt tokens served from prefix cache")
+            gauge("prefix_cache_query_tokens",
+                  sch.prefix_cache_query_tokens,
+                  "Cumulative prompt tokens looked up in prefix cache")
+            gauge("spec_decode_draft_tokens", spec.num_draft_tokens,
+                  "Cumulative draft tokens proposed")
+            gauge("spec_decode_accepted_tokens", spec.num_accepted_tokens,
+                  "Cumulative draft tokens accepted")
+            gauge("spec_decode_acceptance_rate", spec.acceptance_rate,
+                  "Accepted/drafted ratio")
+            text = "\n".join(lines) + "\n"
+            payload = text.encode()
+            writer.write(
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/plain; version=0.0.4\r\n"
+                b"Content-Length: " + str(len(payload)).encode()
+                + b"\r\nConnection: close\r\n\r\n" + payload
+            )
+            await writer.drain()
+            return
         if method == "GET" and path == "/v1/models":
             return await self._json(writer, 200, {
                 "object": "list",

@@ -33,11 +33,23 @@ def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref):
 
     All comparisons promote the bf16 image to f32 — EXACTLY the XLA
     fallback's semantics (`lx >= t` with f32 t promotes), so the kept
-    sets are bit-identical (tests/test_pallas.py thresholds parity)."""
-    x = x_ref[...].astype(jnp.float32)  # f32 image of the bf16 input
-    V = x.shape[-1]
-    row_max = jnp.max(x, axis=-1, keepdims=True)
-    row_min = jnp.min(x, axis=-1, keepdims=True)
+    sets are bit-identical (tests/test_pallas.py thresholds parity).
+
+    VMEM discipline: only the bf16 input and the bf16 exp image are kept
+    live across the bisection loops (~0.6 MB/row at V=152k). The f32
+    promotions happen INSIDE each masked reduction so Mosaic streams them
+    vreg-by-vreg — binding a hoisted f32 copy instead put ~14 MB of
+    tensors in scope at RT=8 and the kernel spilled (measured: no speedup
+    over the XLA path, 33-minute Mosaic compile)."""
+    xb = x_ref[...]  # [RT, V] bf16 — the only full-width resident (+e)
+    V = xb.shape[-1]
+
+    def xf():
+        # f32 image, promoted on the fly inside each consumer
+        return xb.astype(jnp.float32)
+
+    row_max = jnp.max(xf(), axis=-1, keepdims=True)
+    row_min = jnp.min(xf(), axis=-1, keepdims=True)
 
     k = k_ref[...]  # [RT, 1] int32 (0 => disabled)
     keff = jnp.where(k > 0, k, V)
@@ -46,7 +58,8 @@ def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref):
     def body_k(_, carry):
         lo, hi = carry
         mid = 0.5 * (lo + hi)
-        cnt = jnp.sum((x >= mid).astype(jnp.int32), axis=-1, keepdims=True)
+        cnt = jnp.sum((xf() >= mid).astype(jnp.int32), axis=-1,
+                      keepdims=True)
         ok = cnt >= keff
         return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
 
@@ -59,11 +72,15 @@ def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref):
 
     # ---- top-p over unnormalized exp space, masked by keep_k (bf16 e
     # image, f32-promoted comparisons — the XLA fallback's exact math) --
-    keep_k = x >= kth
-    e = jnp.where(keep_k, jnp.exp(x - row_max), 0.0).astype(jnp.bfloat16)
-    ef = e.astype(jnp.float32)
-    denom = jnp.sum(ef, axis=-1, keepdims=True)
-    emax = jnp.max(ef, axis=-1, keepdims=True)
+    e = jnp.where(
+        xf() >= kth, jnp.exp(xf() - row_max), 0.0
+    ).astype(jnp.bfloat16)
+
+    def ef():
+        return e.astype(jnp.float32)
+
+    denom = jnp.sum(ef(), axis=-1, keepdims=True)
+    emax = jnp.max(ef(), axis=-1, keepdims=True)
     tp = jnp.minimum(p_ref[...], 1.0)
     target = tp * denom
 
@@ -71,7 +88,7 @@ def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref):
         lo, hi = carry
         mid = 0.5 * (lo + hi)
         mass = jnp.sum(
-            jnp.where(ef >= mid, ef, 0.0), axis=-1, keepdims=True
+            jnp.where(ef() >= mid, ef(), 0.0), axis=-1, keepdims=True
         )
         ok = mass >= target
         return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
@@ -82,22 +99,24 @@ def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref):
     tau_ref[...] = lo_p
 
 
-# row tile: [RT, V] bf16 + bf16 exp image + f32 transients must fit the
-# ~16 MiB VMEM scope; V=152k bf16 is 304 KB/row
+# row tile: Mosaic requires the sublane block dim divisible by 8, so 8 is
+# the floor; with the streaming f32 promotion only ~0.6 MB/row stays live
+# (bf16 x + bf16 e), i.e. ~5 MB at RT=8.
 _ROW_TILE = 8
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("row_tile",))
 def topk_topp_thresholds_pallas(
     logits_bf16: jax.Array,  # [R, V] bf16 (the comparison image)
     top_k: jax.Array,        # [R] int32, 0 => disabled
     top_p: jax.Array,        # [R] f32, 1.0 => disabled
+    row_tile: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (kth [R], tau_u [R], row_max [R]) f32 — the top-k logit
     threshold, the top-p unnormalized-exp threshold (both ties-inclusive
     conservative), and the row max used for the exp image."""
     R, V = logits_bf16.shape
-    RT = min(_ROW_TILE, R)
+    RT = min(row_tile or _ROW_TILE, R)
     pad = (-R) % RT
     if pad:
         logits_bf16 = jnp.pad(logits_bf16, ((0, pad), (0, 0)))
