@@ -99,3 +99,23 @@ def test_emitted_prefix_matches_draft_prefix():
         np.testing.assert_array_equal(out_np[b, :k], np.asarray(drafts)[b, :k])
         assert (out_np[b, n_np[b]:] == -1).all()
         assert 0 <= out_np[b, k] < V
+
+
+def test_pruned_q_vocab_matches_padded_q():
+    """q over a pruned vocab prefix (Vq < V) must behave exactly like the
+    same q zero-padded to the full vocab — tokens, counts, and the
+    resampled final token (same key => same draws)."""
+    V, Vq, K, B = 32, 8, 4, 48
+    rng = np.random.default_rng(7)
+    p = jnp.asarray(rng.dirichlet(np.ones(V), size=(B, K + 1)).astype(np.float32))
+    q_pruned = jnp.asarray(
+        rng.dirichlet(np.ones(Vq), size=(B, K)).astype(np.float32)
+    )
+    q_padded = jnp.pad(q_pruned, ((0, 0), (0, 0), (0, V - Vq)))
+    # proposals always come from the pruned prefix
+    drafts = jnp.asarray(rng.integers(0, Vq, size=(B, K)), jnp.int32)
+    key = jax.random.PRNGKey(123)
+    out_a, n_a = rejection_sample(drafts, q_pruned, p, key)
+    out_b, n_b = rejection_sample(drafts, q_padded, p, key)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    np.testing.assert_array_equal(np.asarray(n_a), np.asarray(n_b))

@@ -561,12 +561,9 @@ class ModelRunner:
             toks0 = jnp.stack([prev, last], axis=1)  # [B, 2]
             hidden0, kv_d = self.draft_fwd(params_d, toks0, pos0, kv_d, meta0)
 
-            def pad_v(qp):
-                # pruned-vocab proposals: zero probability outside the
-                # prefix keeps the rejection residual exactly lossless
-                pad = cfg.vocab_size - qp.shape[-1]
-                return qp if pad == 0 else jnp.pad(qp, ((0, 0), (0, pad)))
-
+            # q distributions stay on the (possibly pruned) draft vocab:
+            # rejection_sample handles Vq < V natively (zero prob outside
+            # the prefix), so no per-step [B, V] padding is materialized
             if greedy:
                 d1 = self.draft_mod.compute_argmax(
                     dcfg, params_d, hidden0[:, 1]
@@ -578,7 +575,6 @@ class ModelRunner:
                 )
                 q0 = compute_probs(logits0, temps, top_ks, top_ps)
                 d1 = sample_from_probs(q0, jax.random.fold_in(key_i, 0))
-                q0 = pad_v(q0)
 
             def draft_body(carry, i):
                 kv_d, cur = carry
@@ -601,7 +597,7 @@ class ModelRunner:
                 logits = self.draft_mod.compute_logits(dcfg, params_d, hidden[:, 0])
                 q = compute_probs(logits, temps, top_ks, top_ps)
                 tok = sample_from_probs(q, jax.random.fold_in(key_i, i))
-                return (kv_d, tok), (tok, pad_v(q))
+                return (kv_d, tok), (tok, q)
 
             (kv_d, _), (draft_rest, q_rest) = jax.lax.scan(
                 draft_body, (kv_d, d1), jnp.arange(1, K, dtype=jnp.int32),

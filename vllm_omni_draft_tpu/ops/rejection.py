@@ -35,7 +35,7 @@ PLACEHOLDER = -1  # padding token id in the output buffer
 
 def rejection_sample(
     draft_tokens: jax.Array,  # [B, K] int32 — tokens the draft proposed
-    q_probs: jax.Array,  # [B, K, V] f32 — draft distribution at each position
+    q_probs: jax.Array,  # [B, K, Vq] f32 — draft distribution per position
     p_probs: jax.Array,  # [B, K+1, V] f32 — target distribution at each position
     key: jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
@@ -43,16 +43,28 @@ def rejection_sample(
 
     num_emitted = num_accepted + 1 (the +1 is the recovery or bonus token);
     out_tokens[b, :num_emitted[b]] are the tokens to append.
+
+    Pruned draft vocab: q_probs may cover only a prefix Vq <= V of the
+    vocabulary (the pruned draft lm_head). Semantically q is zero outside
+    the prefix, and draft proposals are always < Vq; the residual pads
+    q_r back to V once instead of the caller padding every per-step q to
+    the full vocab (which cost K [B, V] materializations per spec iter).
     """
     B, K = draft_tokens.shape
     V = p_probs.shape[-1]
+    Vq = q_probs.shape[-1]
     u_key, resample_key = jax.random.split(key)
 
     # acceptance test per position
     u = jax.random.uniform(u_key, (B, K), dtype=jnp.float32)
     idx = draft_tokens[..., None]  # [B, K, 1]
     p_at = jnp.take_along_axis(p_probs[:, :K, :], idx, axis=-1)[..., 0]  # [B, K]
-    q_at = jnp.take_along_axis(q_probs, idx, axis=-1)[..., 0]
+    # proposals come from the draft head, so idx < Vq by construction;
+    # clip defensively (a clipped bogus index would just mis-score that
+    # row, same as with a full-width q)
+    q_at = jnp.take_along_axis(
+        q_probs, jnp.minimum(idx, Vq - 1), axis=-1
+    )[..., 0]
     ratio = p_at / jnp.maximum(q_at, 1e-30)
     accept = u < jnp.minimum(ratio, 1.0)  # [B, K]
 
@@ -68,7 +80,9 @@ def rejection_sample(
     p_r = jnp.take_along_axis(p_probs, r[:, None, None], axis=1)[:, 0, :]  # [B, V]
     q_r = jnp.take_along_axis(
         q_probs, jnp.minimum(r, K - 1)[:, None, None], axis=1
-    )[:, 0, :]
+    )[:, 0, :]  # [B, Vq]
+    if Vq != V:  # zero outside the pruned prefix
+        q_r = jnp.pad(q_r, ((0, 0), (0, V - Vq)))
     residual = jnp.maximum(p_r - q_r, 0.0)
     res_sum = jnp.sum(residual, axis=-1, keepdims=True)
     # degenerate residual (p == q exactly): fall back to p_r itself
