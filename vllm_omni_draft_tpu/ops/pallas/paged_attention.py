@@ -51,6 +51,11 @@ import os as _os
 
 FLAT_KV_DEFAULT = _os.environ.get("VOT_ATTN_FLAT", "0") == "1"
 
+# Decode-kernel software-pipeline depth (outstanding KV chunk loads + 1).
+# The per-chunk compute is far cheaper than one chunk's DMA latency, so
+# depth 2 (classic double buffering) idles ~a full latency per chunk.
+NUM_SLOTS_DEFAULT = int(_os.environ.get("VOT_ATTN_SLOTS", "4"))
+
 
 def _fp8_bits_to_f32(x: jax.Array) -> jax.Array:
     """e4m3fn -> f32 * 2^-120 via integer bit placement.
@@ -101,6 +106,7 @@ def _kernel(
     fp8: bool,
     full_cache: bool,
     flat: bool,
+    nslots: int,
 ):
     g = pl.program_id(0)
     CHUNK_T = CHUNK_BLOCKS * BS
@@ -159,7 +165,14 @@ def _kernel(
                         sem.at[slot, 1, sq, i],
                     ).wait()
 
-        start_load(0, 0)
+        # software pipeline: keep nslots-1 chunk loads in flight. The
+        # per-chunk compute is tiny (small dots on 128-token tiles), so
+        # with plain double buffering the loop idles a full DMA latency
+        # per chunk; deeper lookahead converts that to issue throughput.
+        for c0 in range(nslots - 1):
+            @pl.when(c0 < num_chunks)
+            def _(c0=c0):
+                start_load(c0, c0)
         q = q_ref[...].astype(jnp.float32)  # [BQ, Hkv, GTP, D]
 
         # query offset t for each padded row r: t = r % T
@@ -177,11 +190,12 @@ def _kernel(
 
         def body(c, carry):
             m, l, acc = carry  # [BQ, Hkv, GTP, 1] x2, [BQ, Hkv, GTP, D]
-            slot = c % 2
+            slot = c % nslots
 
-            @pl.when(c + 1 < num_chunks)
+            @pl.when(c + nslots - 1 < num_chunks)
             def _():
-                start_load(c + 1, (c + 1) % 2)
+                # reuses the slot whose compute finished last iteration
+                start_load(c + nslots - 1, (c + nslots - 1) % nslots)
 
             wait_load(c, slot)
             if fp8:
@@ -269,7 +283,8 @@ _KV_SCRATCH_BUDGET = 12 * 1024 * 1024
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scale", "kv_scale", "chunk_blocks", "seqs_per_program", "flat_kv"
+        "scale", "kv_scale", "chunk_blocks", "seqs_per_program", "flat_kv",
+        "num_slots",
     ),
 )
 def paged_attention_pallas(
@@ -284,6 +299,7 @@ def paged_attention_pallas(
     seqs_per_program: int | None = None,
     layer: jax.Array | None = None,  # required when cache is 5-D
     flat_kv: bool | None = None,
+    num_slots: int | None = None,  # KV scratch pipeline depth
 ) -> jax.Array:
     B, T, Hq, D = q.shape
     full_cache = k_cache.ndim == 5
@@ -320,14 +336,17 @@ def paged_attention_pallas(
         block_tables = jnp.pad(block_tables, ((0, 0), (0, pad_cols)))
 
     CHUNK_T = chunk_blocks * BS
+    itemsize = 1 if (fp8 or i8) else 2
+    if num_slots is None:
+        num_slots = NUM_SLOTS_DEFAULT
+    S = max(2, num_slots)
     if seqs_per_program is None:
-        itemsize = 1 if (fp8 or i8) else 2
         # full per-sequence VMEM footprint, not just the KV scratch: the
         # f32 K/V casts and the GTP-scaled score/accumulator tensors live
         # on the Mosaic stack too (measured stack OOM at T=16 x BS=128
         # when only the scratch was budgeted)
         per_seq = (
-            2 * 2 * CHUNK_T * Hkv * D * itemsize  # dbl-buffered K+V scratch
+            S * 2 * CHUNK_T * Hkv * D * itemsize  # S-slot K+V scratch
             + 2 * CHUNK_T * Hkv * D * 4           # in-register f32 K, V
             + 2 * Hkv * GTP * CHUNK_T * 4         # scores + exp probs f32
             + 3 * Hkv * GTP * D * 4               # q, acc, out f32
@@ -362,6 +381,7 @@ def paged_attention_pallas(
         fp8=fp8,
         full_cache=full_cache,
         flat=flat_kv,
+        nslots=S,
     )
     kv_scratch_dims = (CHUNK_T, Hkv * D) if flat_kv else (CHUNK_T, Hkv, D)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -380,9 +400,9 @@ def paged_attention_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, BQ, *kv_scratch_dims), k_cache.dtype),
-            pltpu.VMEM((2, BQ, *kv_scratch_dims), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, BQ, chunk_blocks)),
+            pltpu.VMEM((S, BQ, *kv_scratch_dims), k_cache.dtype),
+            pltpu.VMEM((S, BQ, *kv_scratch_dims), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((S, 2, BQ, chunk_blocks)),
         ],
     )
     out = pl.pallas_call(
@@ -436,6 +456,7 @@ def _prefill_kernel(
     fp8: bool,
     full_cache: bool,
     flat: bool,
+    nslots: int,
 ):
     qt = pl.program_id(0)
     CHUNK_T = CHUNK_BLOCKS * BS
@@ -489,7 +510,10 @@ def _prefill_kernel(
                     sem.at[slot, 1, i],
                 ).wait()
 
-        start_load(0, 0)
+        for c0 in range(nslots - 1):  # pipeline prologue (see decode)
+            @pl.when(c0 < num_chunks)
+            def _(c0=c0):
+                start_load(c0, c0)
         q = q_ref[0].astype(jnp.float32)  # [Hkv, GT, D]
 
         row_t = jax.lax.broadcasted_iota(jnp.int32, (Hkv, GT, CHUNK_T), 1) % TQ
@@ -499,11 +523,11 @@ def _prefill_kernel(
 
         def body(c, carry):
             m, l, acc = carry
-            slot = c % 2
+            slot = c % nslots
 
-            @pl.when(c + 1 < num_chunks)
+            @pl.when(c + nslots - 1 < num_chunks)
             def _():
-                start_load(c + 1, (c + 1) % 2)
+                start_load(c + nslots - 1, (c + nslots - 1) % nslots)
 
             wait_load(c, slot)
             if fp8:
@@ -564,7 +588,9 @@ _PREFILL_TQ = 128
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "kv_scale", "chunk_blocks", "flat_kv")
+    jax.jit,
+    static_argnames=("scale", "kv_scale", "chunk_blocks", "flat_kv",
+                     "num_slots"),
 )
 def paged_prefill_pallas(
     q: jax.Array,  # [1, T, Hq, D]
@@ -578,6 +604,7 @@ def paged_prefill_pallas(
     chunk_blocks: int | None = None,
     layer: jax.Array | None = None,
     flat_kv: bool | None = None,
+    num_slots: int | None = None,
 ) -> jax.Array:
     _, T, Hq, D = q.shape
     full_cache = k_cache.ndim == 5
@@ -629,7 +656,13 @@ def paged_prefill_pallas(
         fp8=fp8,
         full_cache=full_cache,
         flat=flat_kv,
+        nslots=(
+            max(2, num_slots)
+            if num_slots is not None
+            else NUM_SLOTS_DEFAULT
+        ),
     )
+    S = kernel.keywords["nslots"]
     kv_scratch_dims = (CHUNK_T, Hkv * D) if flat_kv else (CHUNK_T, Hkv, D)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -647,9 +680,9 @@ def paged_prefill_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, *kv_scratch_dims), k_cache.dtype),
-            pltpu.VMEM((2, *kv_scratch_dims), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, chunk_blocks)),
+            pltpu.VMEM((S, *kv_scratch_dims), k_cache.dtype),
+            pltpu.VMEM((S, *kv_scratch_dims), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((S, 2, chunk_blocks)),
         ],
     )
     out = pl.pallas_call(
