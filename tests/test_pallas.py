@@ -70,6 +70,43 @@ def test_paged_attention_kernel_interpret_matches_reference(T, gqa, monkeypatch)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("num_slots", [2, 3, 6])
+def test_paged_attention_pipeline_depth_bit_identical(num_slots, monkeypatch):
+    """The N-slot DMA pipeline must not change results: every depth is
+    bit-identical to the classic double-buffered (2-slot) kernel, for
+    bf16 and fp8 caches, including sequences whose chunk count is
+    below/above the lookahead depth."""
+    from vllm_omni_draft_tpu.ops.pallas import paged_attention as pa
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **kw: orig_call(*a, **{**kw, "interpret": True}),
+    )
+    B, T, Hq, Hkv, D, BS, NB = 3, 2, 4, 2, 128, 8, 64
+    key = jax.random.PRNGKey(0)
+    qarr = jax.random.normal(key, (B, T, Hq, D), jnp.bfloat16)
+    for dt in (jnp.bfloat16, jnp.float8_e4m3fn):
+        kc = jax.random.normal(
+            jax.random.PRNGKey(1), (NB, BS, Hkv, D), jnp.bfloat16
+        ).astype(dt)
+        vc = jax.random.normal(
+            jax.random.PRNGKey(2), (NB, BS, Hkv, D), jnp.bfloat16
+        ).astype(dt)
+        bt = jnp.arange(B * 16, dtype=jnp.int32).reshape(B, 16)
+        # 19: 2 chunks (below depth 3/6 lookahead); 128: 8 chunks (above)
+        kl = jnp.array([19, 77, 128], jnp.int32)
+        base = pa.paged_attention_pallas(
+            qarr, kc, vc, bt, kl, 0.0883, chunk_blocks=2, num_slots=2
+        )
+        got = pa.paged_attention_pallas(
+            qarr, kc, vc, bt, kl, 0.0883, chunk_blocks=2,
+            num_slots=num_slots,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
 def test_paged_attention_kernel_inactive_rows(monkeypatch):
     from vllm_omni_draft_tpu.ops.pallas import paged_attention as pa
     import jax.experimental.pallas as pl
