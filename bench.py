@@ -100,16 +100,12 @@ def main():
     cfg = EngineConfig(
         model=target,
         cache=CacheConfig(
-            # bf16 KV: 128 measured best (PERF_NOTES sweep: 16->5758,
-            # 32->6122, 64->6287, 128->6380 tok/s; TTFT flat). 1-byte KV
-            # (fp8/int8) inverts: 16->5481, 32->4687, 128->4216 (fp8) —
-            # small blocks win once the in-kernel dequant is cheap.
-            block_size=int(os.environ.get(
-                "VOT_BENCH_BLOCK",
-                # the small-block inversion is measured only for the 1-byte
-                # KV formats; anything else (bf16, f32) keeps 128
-                "16" if kv_dtype in ("fp8", "int8") else "128",
-            )),
+            # block 128 measured best for EVERY KV dtype since the N-slot
+            # attention DMA pipeline landed (round 2): bf16 6397, fp8
+            # 6115, at 128 vs fp8 5481@16. The round-1 small-block
+            # preference for 1-byte KV was a double-buffering underlap
+            # artifact (PERF_NOTES round-2 TPU findings).
+            block_size=int(os.environ.get("VOT_BENCH_BLOCK", "128")),
             gpu_memory_utilization=0.85,
         ),
         scheduler=SchedulerConfig(
