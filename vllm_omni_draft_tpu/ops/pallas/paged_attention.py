@@ -56,6 +56,10 @@ FLAT_KV_DEFAULT = _os.environ.get("VOT_ATTN_FLAT", "0") == "1"
 # depth 2 (classic double buffering) idles ~a full latency per chunk.
 NUM_SLOTS_DEFAULT = int(_os.environ.get("VOT_ATTN_SLOTS", "4"))
 
+# GQA folding: one block-diagonal scores/pv dot pair per (seq, chunk)
+# instead of 2*Hkv per-head dots (see _kernel_fold).
+GQA_FOLD_DEFAULT = _os.environ.get("VOT_ATTN_FOLD", "0") == "1"
+
 
 def _fp8_bits_to_f32(x: jax.Array) -> jax.Array:
     """e4m3fn -> f32 * 2^-120 via integer bit placement.
@@ -274,6 +278,189 @@ def _kernel(
         out_ref[...] = out.astype(out_ref.dtype)
 
 
+def _kernel_fold(
+    # scalar prefetch
+    bt_ref,  # [B, NBMAX] int32 block tables (SMEM)
+    kvlen_ref,  # [B] int32 (SMEM)
+    layer_ref,  # [1] int32 (SMEM)
+    # inputs
+    q_ref,  # [BQ, Hkv*GTP, D] VMEM — rows ordered (head, g*T+t)
+    k_hbm,  # [NB, BS*Hkv, D] or [L, NB, BS*Hkv, D] HBM — rows (t, head)
+    v_hbm,
+    # outputs
+    out_ref,  # [BQ, Hkv*GTP, D] VMEM
+    # scratch
+    kbuf,  # [S, BQ, CHUNK_T*Hkv, D] VMEM (cache dtype)
+    vbuf,
+    sem,  # DMA sems [S, 2, BQ, CHUNK_BLOCKS]
+    *,
+    T: int,
+    BS: int,
+    CHUNK_BLOCKS: int,
+    BQ: int,
+    Hkv: int,
+    GTP: int,
+    scale: float,
+    kv_scale: float,
+    deq: bool,
+    fp8: bool,
+    full_cache: bool,
+    nslots: int,
+):
+    """GQA-folded decode attention: ONE scores dot and ONE pv dot per
+    (sequence, chunk) instead of 2*Hkv small per-head dots.
+
+    The trick: flatten query rows over (head, position) and KV rows over
+    (position, head) — the [Hkv*GTP, CHUNK_T*Hkv] score matrix then
+    contains every cross-head pairing, and a block-diagonal mask
+    (col_head == row_head, folded into the causal mask before the
+    softmax statistics) zeroes the foreign-head terms, so the pv dot
+    needs no extraction. 4x the MXU FLOPs of the per-head dots — but
+    these shapes leave the MXU mostly idle and the per-chunk cost is
+    issue-dominated (measured: block size/slot/chunk sweeps all flat),
+    so fewer, bigger ops win. KV flattens to (t, h) rows by a FREE HBM
+    reshape [NB, BS, Hkv, D] -> [NB, BS*Hkv, D] (contiguous dims), so no
+    transpose anywhere."""
+    g = pl.program_id(0)
+    CHUNK_T = CHUNK_BLOCKS * BS
+    CTH = CHUNK_T * Hkv
+    BSH = BS * Hkv
+    D = q_ref.shape[-1]
+    layer = layer_ref[0]
+
+    kv_lens = [kvlen_ref[g * BQ + sq] for sq in range(BQ)]
+    max_len = kv_lens[0]
+    for sq in range(1, BQ):
+        max_len = jnp.maximum(max_len, kv_lens[sq])
+
+    @pl.when(max_len == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(max_len > 0)
+    def _():
+        num_chunks = pl.cdiv(max_len, CHUNK_T)
+
+        def src(hbm, bid):
+            if full_cache:
+                return hbm.at[layer, bid]
+            return hbm.at[bid]
+
+        def start_load(c, slot):
+            base = c * CHUNK_BLOCKS
+            for sq in range(BQ):
+                for i in range(CHUNK_BLOCKS):
+                    bid = bt_ref[g * BQ + sq, base + i]
+                    pltpu.make_async_copy(
+                        src(k_hbm, bid),
+                        kbuf.at[slot, sq, pl.ds(i * BSH, BSH)],
+                        sem.at[slot, 0, sq, i],
+                    ).start()
+                    pltpu.make_async_copy(
+                        src(v_hbm, bid),
+                        vbuf.at[slot, sq, pl.ds(i * BSH, BSH)],
+                        sem.at[slot, 1, sq, i],
+                    ).start()
+
+        def wait_load(c, slot):
+            base = c * CHUNK_BLOCKS
+            for sq in range(BQ):
+                for i in range(CHUNK_BLOCKS):
+                    bid = bt_ref[g * BQ + sq, base + i]
+                    pltpu.make_async_copy(
+                        src(k_hbm, bid),
+                        kbuf.at[slot, sq, pl.ds(i * BSH, BSH)],
+                        sem.at[slot, 0, sq, i],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        src(v_hbm, bid),
+                        vbuf.at[slot, sq, pl.ds(i * BSH, BSH)],
+                        sem.at[slot, 1, sq, i],
+                    ).wait()
+
+        for c0 in range(nslots - 1):
+            @pl.when(c0 < num_chunks)
+            def _(c0=c0):
+                start_load(c0, c0)
+        q = q_ref[...].astype(jnp.float32)  # [BQ, Hkv*GTP, D]
+
+        HG = Hkv * GTP
+        # row r = (head, g*T + t): head = r // GTP, t = r % T
+        row = jax.lax.broadcasted_iota(jnp.int32, (BQ, HG, CTH), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (BQ, HG, CTH), 2)
+        row_h = row // GTP
+        row_t = row % T
+        col_h = col % Hkv
+        col_t = col // Hkv
+        same_head = col_h == row_h
+        kvl = jnp.concatenate(
+            [
+                jnp.full((1, HG, CTH), 0, jnp.int32) + kv_lens[sq]
+                for sq in range(BQ)
+            ]
+        )
+
+        def body(c, carry):
+            m, l, acc = carry  # [BQ, HG, 1] x2, [BQ, HG, D]
+            slot = c % nslots
+
+            @pl.when(c + nslots - 1 < num_chunks)
+            def _():
+                start_load(c + nslots - 1, (c + nslots - 1) % nslots)
+
+            wait_load(c, slot)
+            if fp8:
+                k = _fp8_bits_to_f32(kbuf[slot])  # [BQ, CTH, D]
+                v = _fp8_bits_to_f32(vbuf[slot])
+            else:
+                k = kbuf[slot].astype(jnp.float32)
+                v = vbuf[slot].astype(jnp.float32)
+            if deq:
+                k = k * kv_scale
+                v = v * kv_scale
+
+            # ONE dot per sequence: [HG, D] x [CTH, D]^T -> [HG, CTH]
+            s = jnp.stack(
+                [
+                    jax.lax.dot_general(
+                        q[sq], k[sq],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for sq in range(BQ)
+                ]
+            ) * scale
+
+            jg = c * CHUNK_T + col_t
+            mask = same_head & (jg < kvl) & (jg <= kvl - T + row_t)
+            s = jnp.where(mask, s, NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            # ONE pv dot: off-diagonal p entries are exactly 0
+            pv = jnp.stack(
+                [
+                    jax.lax.dot_general(
+                        p[sq], v[sq],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for sq in range(BQ)
+                ]
+            )
+            acc_new = acc * alpha + pv
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((BQ, HG, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((BQ, HG, 1), jnp.float32)
+        acc0 = jnp.zeros((BQ, HG, D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, acc0))
+        out = acc / jnp.maximum(l, 1e-30)
+        out_ref[...] = out.astype(out_ref.dtype)
+
+
 # VMEM budget for one program's full working set (bytes); BQ adapts to it.
 # 12 MiB of the 16 MiB scoped limit — the remainder covers block tables,
 # semaphores, and Mosaic's own spill slack.
@@ -284,7 +471,7 @@ _KV_SCRATCH_BUDGET = 12 * 1024 * 1024
     jax.jit,
     static_argnames=(
         "scale", "kv_scale", "chunk_blocks", "seqs_per_program", "flat_kv",
-        "num_slots",
+        "num_slots", "gqa_fold",
     ),
 )
 def paged_attention_pallas(
@@ -300,6 +487,7 @@ def paged_attention_pallas(
     layer: jax.Array | None = None,  # required when cache is 5-D
     flat_kv: bool | None = None,
     num_slots: int | None = None,  # KV scratch pipeline depth
+    gqa_fold: bool | None = None,  # one-dot-per-seq GQA folding
 ) -> jax.Array:
     B, T, Hq, D = q.shape
     full_cache = k_cache.ndim == 5
@@ -317,9 +505,16 @@ def paged_attention_pallas(
         kv_scale = quant_ops.kv8_dequant_factor(kv_scale)
     if fp8:  # bit-placement dequant reads values scaled by 2^-120
         kv_scale = kv_scale * FP8_BIAS_FIX
+    if gqa_fold is None:
+        gqa_fold = GQA_FOLD_DEFAULT
     if flat_kv is None:
-        flat_kv = FLAT_KV_DEFAULT
-    if flat_kv:
+        flat_kv = FLAT_KV_DEFAULT and not gqa_fold
+    if gqa_fold:
+        # (BS, Hkv) -> (BS*Hkv,) rows for _kernel_fold: contiguous dims,
+        # free HBM reshape; KV rows become (t, h)-ordered
+        k_cache = k_cache.reshape(*k_cache.shape[:-3], BS * Hkv, D)
+        v_cache = v_cache.reshape(*v_cache.shape[:-3], BS * Hkv, D)
+    elif flat_kv:
         # collapse (Hkv, D) -> (Hkv*D,): the trailing dims are contiguous
         # so the HBM reshape is a free bitcast, and the VMEM scratch's
         # tiled trailing dims become (CHUNK_T, Hkv*D) — exact multiples of
@@ -345,10 +540,11 @@ def paged_attention_pallas(
         # f32 K/V casts and the GTP-scaled score/accumulator tensors live
         # on the Mosaic stack too (measured stack OOM at T=16 x BS=128
         # when only the scratch was budgeted)
+        score_cols = CHUNK_T * Hkv if gqa_fold else CHUNK_T
         per_seq = (
             S * 2 * CHUNK_T * Hkv * D * itemsize  # S-slot K+V scratch
             + 2 * CHUNK_T * Hkv * D * 4           # in-register f32 K, V
-            + 2 * Hkv * GTP * CHUNK_T * 4         # scores + exp probs f32
+            + 2 * Hkv * GTP * score_cols * 4      # scores + exp probs f32
             + 3 * Hkv * GTP * D * 4               # q, acc, out f32
         )
         seqs_per_program = max(1, min(8, _KV_SCRATCH_BUDGET // per_seq))
@@ -369,35 +565,56 @@ def paged_attention_pallas(
     if GTP != GT:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, GTP - GT), (0, 0)))
 
-    kernel = functools.partial(
-        _kernel,
-        T=T,
-        BS=BS,
-        CHUNK_BLOCKS=chunk_blocks,
-        BQ=BQ,
-        scale=scale,
-        kv_scale=kv_scale,
-        deq=fp8 or i8 or kv_scale != 1.0,
-        fp8=fp8,
-        full_cache=full_cache,
-        flat=flat_kv,
-        nslots=S,
-    )
-    kv_scratch_dims = (CHUNK_T, Hkv * D) if flat_kv else (CHUNK_T, Hkv, D)
+    if gqa_fold:
+        qr = qr.reshape(BP, Hkv * GTP, D)  # rows (head, g*T+t)
+        kernel = functools.partial(
+            _kernel_fold,
+            T=T,
+            BS=BS,
+            CHUNK_BLOCKS=chunk_blocks,
+            BQ=BQ,
+            Hkv=Hkv,
+            GTP=GTP,
+            scale=scale,
+            kv_scale=kv_scale,
+            deq=fp8 or i8 or kv_scale != 1.0,
+            fp8=fp8,
+            full_cache=full_cache,
+            nslots=S,
+        )
+        io_block = (BQ, Hkv * GTP, D)
+        kv_scratch_dims = (CHUNK_T * Hkv, D)
+        io_index = lambda g, *_: (g, 0, 0)
+    else:
+        kernel = functools.partial(
+            _kernel,
+            T=T,
+            BS=BS,
+            CHUNK_BLOCKS=chunk_blocks,
+            BQ=BQ,
+            scale=scale,
+            kv_scale=kv_scale,
+            deq=fp8 or i8 or kv_scale != 1.0,
+            fp8=fp8,
+            full_cache=full_cache,
+            flat=flat_kv,
+            nslots=S,
+        )
+        io_block = (BQ, Hkv, GTP, D)
+        kv_scratch_dims = (
+            (CHUNK_T, Hkv * D) if flat_kv else (CHUNK_T, Hkv, D)
+        )
+        io_index = lambda g, *_: (g, 0, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(BP // BQ,),
         in_specs=[
-            pl.BlockSpec(
-                (BQ, Hkv, GTP, D), lambda g, *_: (g, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(io_block, io_index, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (BQ, Hkv, GTP, D), lambda g, *_: (g, 0, 0, 0),
-            memory_space=pltpu.VMEM,
+            io_block, io_index, memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((S, BQ, *kv_scratch_dims), k_cache.dtype),
@@ -405,15 +622,20 @@ def paged_attention_pallas(
             pltpu.SemaphoreType.DMA((S, 2, BQ, chunk_blocks)),
         ],
     )
+    out_shape = (
+        (BP, Hkv * GTP, D) if gqa_fold else (BP, Hkv, GTP, D)
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BP, Hkv, GTP, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
     )(block_tables, kv_lens, layer_arr, qr, k_cache, v_cache)
 
+    if gqa_fold:
+        out = out.reshape(BP, Hkv, GTP, D)
     out = out[:B, :, :GT, :].reshape(B, Hkv, G, T, D)
     return out.transpose(0, 3, 1, 2, 4).reshape(B, T, Hq, D)
 
