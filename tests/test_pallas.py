@@ -107,6 +107,42 @@ def test_paged_attention_pipeline_depth_bit_identical(num_slots, monkeypatch):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
 
 
+def test_paged_attention_gqa_fold_matches_per_head(monkeypatch):
+    """The GQA-folded kernel (one block-diagonal dot pair per seq-chunk)
+    must match the per-head kernel to within bf16-output rounding: the
+    foreign-head mask entries are exact zeros, so only the pv dot's
+    contraction order differs."""
+    from vllm_omni_draft_tpu.ops.pallas import paged_attention as pa
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **kw: orig_call(*a, **{**kw, "interpret": True}),
+    )
+    B, T, Hq, Hkv, D, BS, NB = 3, 5, 28, 4, 128, 8, 64
+    key = jax.random.PRNGKey(0)
+    qarr = jax.random.normal(key, (B, T, Hq, D), jnp.bfloat16)
+    for dt in (jnp.bfloat16, jnp.float8_e4m3fn):
+        kc = jax.random.normal(
+            jax.random.PRNGKey(1), (NB, BS, Hkv, D), jnp.bfloat16
+        ).astype(dt)
+        vc = jax.random.normal(
+            jax.random.PRNGKey(2), (NB, BS, Hkv, D), jnp.bfloat16
+        ).astype(dt)
+        bt = jnp.arange(B * 8, dtype=jnp.int32).reshape(B, 8)
+        kl = jnp.array([23, 41, 64], jnp.int32)
+        ref = pa.paged_attention_pallas(
+            qarr, kc, vc, bt, kl, 0.0883, chunk_blocks=2, gqa_fold=False
+        ).astype(jnp.float32)
+        got = pa.paged_attention_pallas(
+            qarr, kc, vc, bt, kl, 0.0883, chunk_blocks=2, gqa_fold=True
+        ).astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=0, atol=2e-3
+        )
+
+
 def test_paged_attention_kernel_inactive_rows(monkeypatch):
     from vllm_omni_draft_tpu.ops.pallas import paged_attention as pa
     import jax.experimental.pallas as pl
