@@ -1,6 +1,8 @@
 """Microbench: top-k/top-p threshold search — Pallas VMEM-resident kernel
 vs the XLA 32-pass bisection — at the sampled-verify shape
-[B*(K+1)=160, V=152064]. Also checks kept-set parity between the paths.
+[B*(K+1)=160, V=151936]. Checks (a) the top-k superset invariant
+(kept count >= k) on the Pallas path and (b), unless SKIP_XLA=1,
+exact kept-set parity between the Pallas and XLA bisection paths.
 
 Run (TPU): timeout 3000 python benchmarks/micro_thresholds.py
 Env: RT=1,2 (row tiles to try), R=160, SKIP_XLA=1
@@ -70,7 +72,23 @@ def main():
         print(f"pallas thresholds rt={rt}: {t*1e3:7.3f} ms", flush=True)
 
     if os.environ.get("SKIP_XLA") != "1":
+        # kept-set parity: Pallas-threshold path vs the XLA bisection path
+        # (identical bisection math — the kept sets must match exactly)
+        sampling.use_pallas_thresholds(
+            lambda x, k, p: rej.topk_topp_thresholds_pallas(x, k, p, row_tile=8)
+        )
+        masked_pl = jax.block_until_ready(
+            jax.jit(sampling.apply_top_k_top_p)(logits, top_k, top_p)
+        )
         sampling.use_pallas_thresholds(None)
+        masked_xla = jax.block_until_ready(
+            jax.jit(sampling.apply_top_k_top_p)(logits, top_k, top_p)
+        )
+        keep_pl = np.asarray(masked_pl) > sampling.NEG_INF / 2
+        keep_xla = np.asarray(masked_xla) > sampling.NEG_INF / 2
+        diff = int(np.sum(keep_pl != keep_xla))
+        assert diff == 0, f"kept-set mismatch at {diff} positions"
+        print("kept-set parity pallas==xla: ok", flush=True)
 
         t = timed(
             lambda x, k, p: sampling.apply_top_k_top_p(x, k, p),

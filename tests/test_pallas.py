@@ -107,7 +107,15 @@ def test_paged_attention_pipeline_depth_bit_identical(num_slots, monkeypatch):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
 
 
-def test_paged_attention_gqa_fold_matches_per_head(monkeypatch):
+@pytest.mark.parametrize(
+    "T,Hq,Hkv",
+    [
+        (5, 28, 4),   # GTP = roundup8(7*5) = 40, divisible by T
+        (3, 10, 2),   # GTP = roundup8(5*3) = 16, NOT divisible by T:
+                      # catches the row_t = row % T causal-shift bug
+    ],
+)
+def test_paged_attention_gqa_fold_matches_per_head(monkeypatch, T, Hq, Hkv):
     """The GQA-folded kernel (one block-diagonal dot pair per seq-chunk)
     must match the per-head kernel to within bf16-output rounding: the
     foreign-head mask entries are exact zeros, so only the pv dot's
@@ -120,7 +128,7 @@ def test_paged_attention_gqa_fold_matches_per_head(monkeypatch):
         pl, "pallas_call",
         lambda *a, **kw: orig_call(*a, **{**kw, "interpret": True}),
     )
-    B, T, Hq, Hkv, D, BS, NB = 3, 5, 28, 4, 128, 8, 64
+    B, D, BS, NB = 3, 128, 8, 64
     key = jax.random.PRNGKey(0)
     qarr = jax.random.normal(key, (B, T, Hq, D), jnp.bfloat16)
     for dt in (jnp.bfloat16, jnp.float8_e4m3fn):

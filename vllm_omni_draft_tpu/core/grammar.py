@@ -25,10 +25,17 @@ Design notes (TPU-shaped):
 from __future__ import annotations
 
 import json
+import logging
 from dataclasses import dataclass
 from functools import lru_cache
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# Count of tokens that reached RegexGrammar.advance despite being
+# disallowed by the grammar — always a masking bug; see advance().
+MASK_VIOLATIONS = 0
 
 DEAD = 0  # DFA dead-state index (row 0 of every transition table)
 
@@ -593,7 +600,21 @@ class RegexGrammar:
             return state
         data = self.tok_bytes(t)
         nxt = self.dfa.walk_bytes(state, data)
-        return state if nxt == DEAD else nxt  # ill-formed emission: stay
+        if nxt == DEAD:
+            # The device-side mask makes a disallowed emission unreachable
+            # — so reaching DEAD here means a MASKING BUG (or a sampler
+            # bypassing the mask). Staying keeps serving alive, but the
+            # event must be loud, not silently swallowed.
+            global MASK_VIOLATIONS
+            MASK_VIOLATIONS += 1
+            logger.error(
+                "grammar mask violation: token %d (%r) is not accepted "
+                "from state %r — the device bitmask should have excluded "
+                "it (violations so far: %d)",
+                t, data, state, MASK_VIOLATIONS,
+            )
+            return state
+        return nxt
 
     def tok_bytes(self, t: int) -> bytes:
         return self.index.tok[t, : self.index.len[t]].tobytes()

@@ -24,6 +24,7 @@ uses msgspec the same way).
 
 from __future__ import annotations
 
+import logging
 import multiprocessing as mp
 import pickle
 import queue
@@ -32,6 +33,8 @@ import time
 import traceback
 from dataclasses import dataclass, field
 from typing import Any
+
+logger = logging.getLogger(__name__)
 
 # message types (reference taxonomy: ADD/ABORT/UTILITY,
 # engine_core.md:139-152; ERROR is the round-2 failure frame)
@@ -99,6 +102,15 @@ def _engine_proc_main(
             while in_sock.poll(timeout):
                 frames = in_sock.recv_multipart()
                 if len(frames) != 2:  # malformed wire input is not fatal
+                    # ... but it IS a lost ADD/ABORT/UTILITY whose caller
+                    # will hang or time out — make protocol regressions
+                    # observable instead of silent.
+                    logger.warning(
+                        "engine proc: dropping malformed multipart message "
+                        "(%d frames, kinds=%s)",
+                        len(frames),
+                        [f[:16] for f in frames[:4]],
+                    )
                     continue
                 kind, payload = frames
                 if kind == ADD:

@@ -389,7 +389,11 @@ def _kernel_fold(
         row = jax.lax.broadcasted_iota(jnp.int32, (BQ, HG, CTH), 1)
         col = jax.lax.broadcasted_iota(jnp.int32, (BQ, HG, CTH), 2)
         row_h = row // GTP
-        row_t = row % T
+        # p = row % GTP is the (g*T + t) offset WITHIN the head's padded
+        # block; t = p % T.  (row % T is only equivalent when GTP % T == 0 —
+        # e.g. G=5, T=3 gives GTP=16 and every head h>=1 would see a
+        # shifted causal mask.)
+        row_t = (row % GTP) % T
         col_h = col % Hkv
         col_t = col // Hkv
         same_head = col_h == row_h
