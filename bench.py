@@ -244,32 +244,82 @@ def main():
         )
         return
 
-    # steady-state decode: cap measured steps so no sequence can hit
-    # max_model_len mid-measurement (capped slots go inert and deflate
-    # tokens/step)
-    max_len_now = max(
-        len(r.prompt_token_ids) + len(r.output_token_ids)
-        for r in engine.scheduler.requests.values()
-    )
+    # steady-state decode, measured over VOT_BENCH_WINDOWS independent
+    # windows (default 3). Every window measures the IDENTICAL work: all
+    # requests are aborted, a fresh batch of B prompt_len-token requests
+    # is added (same shapes -> no recompile), warmed past prefill, and
+    # `steps` full-batch decode steps are timed. Reporting mean +- sigma
+    # converts the round-2 "unexplained 6.8% drift" (BENCH_r01 6393.6 vs
+    # BENCH_r02 5961.6, one window each) into a quantified spread.
+    n_windows = int(os.environ.get("VOT_BENCH_WINDOWS", "3"))
     per_step = M * (K + 1 if use_spec else 1)
-    fit = max(1, (max_model_len - max_len_now - per_step) // per_step)
-    if fit < steps:
-        log(f"capping measured steps {steps} -> {fit} (max_model_len)")
-        steps = fit
-    gen0 = sum(len(r.output_token_ids) for r in engine.scheduler.requests.values())
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        engine.step()
-    dt = time.perf_counter() - t0
-    gen1 = sum(len(r.output_token_ids) for r in engine.scheduler.requests.values())
-    toks = gen1 - gen0
-    tps = toks / dt
-    log(f"{toks} tokens in {dt:.2f}s over {steps} steps "
-        f"({dt/steps*1000:.1f} ms/step, batch={B})")
+
+    def fresh_batch(tag):
+        for r in list(engine.scheduler.requests.values()):
+            engine.abort_requests([r.request_id])
+        while engine.has_unfinished() or engine.batch_queue:
+            engine.step()
+        for i in range(B):
+            engine.add_request(
+                Request(
+                    request_id=f"{tag}-{i}",
+                    prompt_token_ids=rng.integers(
+                        1, tok_hi, size=prompt_len
+                    ).tolist(),
+                    sampling_params=sp,
+                )
+            )
+        # run until every request is past prefill PLUS two steady steps
+        # (same criterion as the initial warmup): measured steps are pure
+        # full-batch decode with the fused-step pipeline primed
+        warm = 0
+        while warm < 2:
+            engine.step()
+            reqs = engine.scheduler.requests.values()
+            if reqs and all(r.output_token_ids for r in reqs):
+                warm += 1
+
+    window_tps = []
+    window_ms = []
+    for w in range(n_windows):
+        if w > 0:
+            fresh_batch(f"win{w}")
+        # cap measured steps so no sequence can hit max_model_len
+        # mid-measurement (capped slots go inert and deflate tokens/step)
+        max_len_now = max(
+            len(r.prompt_token_ids) + len(r.output_token_ids)
+            for r in engine.scheduler.requests.values()
+        )
+        fit = max(1, (max_model_len - max_len_now - per_step) // per_step)
+        wsteps = min(steps, fit)
+        if wsteps < steps and w == 0:
+            log(f"capping measured steps {steps} -> {fit} (max_model_len)")
+        gen0 = sum(
+            len(r.output_token_ids) for r in engine.scheduler.requests.values()
+        )
+        t0 = time.perf_counter()
+        for _ in range(wsteps):
+            engine.step()
+        dt = time.perf_counter() - t0
+        gen1 = sum(
+            len(r.output_token_ids) for r in engine.scheduler.requests.values()
+        )
+        toks = gen1 - gen0
+        window_tps.append(toks / dt)
+        window_ms.append(dt / wsteps * 1000)
+        log(f"window {w}: {toks} tokens in {dt:.2f}s over {wsteps} steps "
+            f"({dt/wsteps*1000:.1f} ms/step, batch={B}, "
+            f"{toks/dt:.1f} tok/s)")
     if use_spec:
         s = engine.scheduler.spec_stats
         log(f"spec acceptance={s.acceptance_rate:.2f} "
             f"tokens/step={s.mean_tokens_per_step:.2f}")
+
+    tps = float(np.mean(window_tps))
+    sigma = float(np.std(window_tps))
+    log(f"mean {tps:.1f} tok/s sigma {sigma:.1f} "
+        f"({100*sigma/max(tps,1e-9):.1f}%) over {len(window_tps)} windows; "
+        f"ms/step {' '.join(f'{m:.1f}' for m in window_ms)}")
 
     baseline_tps = 8 / 0.0101  # reference TPOT at bs8 (BASELINE.md)
     print(
@@ -288,6 +338,8 @@ def main():
                 "value": round(tps, 1),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(tps / baseline_tps, 3),
+                "sigma": round(sigma, 1),
+                "windows": [round(x, 1) for x in window_tps],
             }
         )
     )

@@ -68,6 +68,15 @@ class _Rep:
     hi: int | None  # None = unbounded
 
 
+@dataclass
+class _CallAtom:
+    """`(?&name)` — recursive rule invocation (PCRE recursion syntax).
+    Only meaningful when compiling a RULE SET to a pushdown automaton
+    (core/pushdown.py); plain compile_regex rejects it."""
+
+    rule: str
+
+
 _ESCAPES = {
     "n": b"\n", "t": b"\t", "r": b"\r", "f": b"\f", "b": b"\b",
     "0": b"\x00", "a": b"\a", "v": b"\v",
@@ -175,10 +184,22 @@ class _Parser:
     def _atom(self):
         c = self.next()
         if c == "(":
-            if self.peek() == "?":  # (?: only
+            if self.peek() == "?":  # (?: groups and (?&name) calls
                 self.next()
-                if self.next() != ":":
-                    self.error("only (?: groups supported")
+                k = self.next()
+                if k == "&":
+                    j = self.i
+                    while j < len(self.p) and self.p[j] != ")":
+                        j += 1
+                    if j >= len(self.p):
+                        self.error("unclosed (?&name)")
+                    name = self.p[self.i: j]
+                    self.i = j + 1
+                    if not name:
+                        self.error("empty rule name in (?&)")
+                    return _CallAtom(name)
+                if k != ":":
+                    self.error("only (?: and (?&name) supported")
             node = self._alt()
             if self.next() != ")":
                 self.error("unclosed group")
@@ -302,6 +323,11 @@ class _NFABuilder:
 
     def build(self, node) -> tuple[int, int]:
         """Returns (start, accept) fragment states."""
+        if isinstance(node, _CallAtom):
+            raise ValueError(
+                f"(?&{node.rule}) recursion requires a rule set — compile "
+                "with core.pushdown.PDA, not compile_regex"
+            )
         if isinstance(node, _Lit):
             s, a = self.state(), self.state()
             self.trans.append((s, node.mask, a))
@@ -370,6 +396,20 @@ class DFA:
 
     def has_live_out(self, state: int) -> bool:
         return bool((self.trans[state] != DEAD).any())
+
+    def accepting(self, state: int) -> bool:
+        return bool(self.accept[state])
+
+    def token_survival(self, index: "TokenIndex", state: int) -> np.ndarray:
+        """[V] bool: tokens whose whole byte string survives from
+        `state` (vectorized level-walk over the transition table)."""
+        cur = np.full(index.V, state, np.int32)
+        for j in range(index.Lmax):
+            act = (index.len > j) & (cur != DEAD)
+            if not act.any():
+                break
+            cur[act] = self.trans[cur[act], index.tok[act, j]]
+        return (cur != DEAD) & (index.len > 0)
 
 
 def compile_regex(pattern: str, max_states: int = 20_000) -> DFA:
@@ -520,21 +560,17 @@ class TokenIndex:
         return cls(toks, eos)
 
     def allowed_packed(
-        self, dfa: DFA, state: int, total: int | None = None
+        self, dfa, state: int, total: int | None = None
     ) -> np.ndarray:
         """Packed uint32 [ceil(total/32)] of tokens whose whole byte
-        string survives from `state` (plus EOS iff accepting). `total`
-        pads to the MODEL vocab (>= tokenizer vocab — e.g. Qwen pads
-        151665 tokenizer entries to a 151936 logit width); the padding
-        ids are never allowed."""
-        cur = np.full(self.V, state, np.int32)
-        for j in range(self.Lmax):
-            act = (self.len > j) & (cur != DEAD)
-            if not act.any():
-                break
-            cur[act] = dfa.trans[cur[act], self.tok[act, j]]
-        ok = (cur != DEAD) & (self.len > 0)
-        if self.eos_token_id is not None and dfa.accept[state]:
+        string survives from `state` (plus EOS iff accepting). `dfa` is
+        any automaton exposing token_survival/accepting (grammar.DFA or
+        pushdown.PDA). `total` pads to the MODEL vocab (>= tokenizer
+        vocab — e.g. Qwen pads 151665 tokenizer entries to a 151936
+        logit width); the padding ids are never allowed."""
+        ok = dfa.token_survival(self, state)
+        if self.eos_token_id is not None and dfa.accepting(state):
+            ok = ok.copy()
             ok[self.eos_token_id] = True
         total = max(total or self.V, self.V)
         W = -(-total // 32)
@@ -569,8 +605,10 @@ def get_token_index(tokenizer) -> TokenIndex:
 class RegexGrammar:
     """Constrain output to match `pattern` (full match, then EOS)."""
 
-    def __init__(self, pattern: str, tokenizer):
-        self.dfa = compile_regex(pattern)
+    def __init__(self, pattern: str, tokenizer, *, automaton=None):
+        # `automaton`: a prebuilt DFA-compatible matcher (pushdown.PDA);
+        # defaults to compiling `pattern` to a byte DFA.
+        self.dfa = automaton if automaton is not None else compile_regex(pattern)
         self.index = get_token_index(tokenizer)
         self._mask_cache: dict[int, np.ndarray] = {}
         self._pad_V: int | None = None  # model vocab width (validate())
@@ -621,7 +659,7 @@ class RegexGrammar:
 
     def is_terminal(self, state) -> bool:
         # nothing live can follow: the match is complete
-        return bool(self.dfa.accept[state]) and not self.dfa.has_live_out(state)
+        return self.dfa.accepting(state) and not self.dfa.has_live_out(state)
 
     def validate(self, vocab_size: int) -> None:
         if self.index.V > vocab_size:
@@ -637,30 +675,62 @@ class RegexGrammar:
 class JsonSchemaGrammar(RegexGrammar):
     """Constrain output to JSON documents valid under `schema` (the
     flagship structured-output case; reference surface:
-    xgrammar-compiled JSON-schema bitmasks, `engine_core.md:307-310`)."""
+    xgrammar-compiled JSON-schema bitmasks, `engine_core.md:307-310`).
+
+    Recursive schemas (`$ref` cycles through $defs/definitions) compile
+    to a PUSHDOWN automaton (core/pushdown.py) — recursion depth is
+    unbounded, true CFG semantics. Acyclic schemas take the byte-DFA
+    fast path.
+
+    Documented deviations from full JSON Schema (raise or are listed
+    here rather than silently differing):
+      * `additionalProperties` defaults to false (rejected if truthy) —
+        the grammar must enumerate every allowed property;
+      * properties are emitted in SCHEMA ORDER (a fixed order; JSON
+        Schema itself is order-free);
+      * absent `required` means NO property is required (per spec).
+    """
 
     def __init__(self, schema: dict | str, tokenizer, max_depth: int = 6):
         if isinstance(schema, str):
             schema = json.loads(schema)
         self.schema = schema
-        super().__init__(schema_to_regex(schema, max_depth=max_depth), tokenizer)
+        rules, recursive = schema_to_rules(schema, max_depth=max_depth)
+        if recursive:
+            from vllm_omni_draft_tpu.core.pushdown import PDA
+
+            super().__init__(
+                rules["root"], tokenizer, automaton=PDA(rules, root="root")
+            )
+        else:
+            super().__init__(rules["root"], tokenizer)
 
 
 class EbnfGrammar(RegexGrammar):
     """Constrain output by an EBNF grammar (the third leg of the
-    xgrammar surface: JSON-schema / regex / EBNF). Rules are expanded
-    from `root` into a single regex with recursion bounded at
-    `max_depth` — a regular approximation: recursive constructs are
-    admitted up to `max_depth` nesting levels and rejected beyond (the
-    DFA state cap guards pathological expansions)."""
+    xgrammar surface: JSON-schema / regex / EBNF; GBNF-style dialect).
+
+    Acyclic rule graphs inline to a single regex -> byte DFA. RECURSIVE
+    rules compile to a pushdown automaton (core/pushdown.py): unbounded
+    nesting with true CFG semantics (left recursion is rejected at
+    compile time with a clear error)."""
 
     def __init__(self, ebnf: str, tokenizer, root: str = "root",
                  max_depth: int = 6):
+        # max_depth kept for API compatibility; recursion is now exact
+        # via the PDA, so no depth bound applies.
+        del max_depth
         self.rules = parse_ebnf(ebnf)
-        super().__init__(
-            ebnf_to_regex(self.rules, root=root, max_depth=max_depth),
-            tokenizer,
-        )
+        rule_strs, recursive = ebnf_to_rules(self.rules, root=root)
+        if recursive:
+            from vllm_omni_draft_tpu.core.pushdown import PDA
+
+            super().__init__(
+                rule_strs[root], tokenizer,
+                automaton=PDA(rule_strs, root=root),
+            )
+        else:
+            super().__init__(rule_strs[root], tokenizer)
 
 
 # ---------------------------------------------------------------------------
@@ -865,6 +935,78 @@ def ebnf_to_regex(rules: dict[str, object], root: str = "root",
     return out
 
 
+def _ebnf_refs(node) -> set[str]:
+    if isinstance(node, _ERef):
+        return {node.name}
+    if isinstance(node, _ESeq):
+        return set().union(*[_ebnf_refs(i) for i in node.items]) \
+            if node.items else set()
+    if isinstance(node, _EAlt):
+        return set().union(*[_ebnf_refs(o) for o in node.options])
+    if isinstance(node, _ERep):
+        return _ebnf_refs(node.node)
+    return set()
+
+
+def _recursive_names(graph: dict[str, set[str]]) -> set[str]:
+    """Names reachable from themselves through the reference graph."""
+    out = set()
+    for name in graph:
+        seen: set[str] = set()
+        work = list(graph.get(name, ()))
+        while work:
+            n = work.pop()
+            if n == name:
+                out.add(name)
+                break
+            if n not in seen:
+                seen.add(n)
+                work.extend(graph.get(n, ()))
+    return out
+
+
+def ebnf_to_rules(rules: dict[str, object], root: str = "root",
+                  ) -> tuple[dict[str, str], bool]:
+    """Rule ASTs -> regex strings with `(?&name)` calls for RECURSIVE
+    rules (compiled by pushdown.PDA) and inline expansion for acyclic
+    ones. Returns ({name: regex}, any_recursion)."""
+    if root not in rules:
+        raise ValueError(f"no rule named {root!r}")
+    graph = {n: _ebnf_refs(ast) for n, ast in rules.items()}
+    for n, refs in graph.items():
+        missing = refs - set(rules)
+        if missing:
+            raise ValueError(f"rule {n!r} references unknown {missing}")
+    recursive = _recursive_names(graph)
+
+    def conv(node) -> str:
+        if isinstance(node, _ERef):
+            if node.name in recursive:
+                return f"(?&{node.name})"
+            return "(" + conv(rules[node.name]) + ")"
+        if isinstance(node, _ELit):
+            return _regex_escape(node.text)
+        if isinstance(node, _EClass):
+            return node.body
+        if isinstance(node, _ESeq):
+            return "".join(conv(i) for i in node.items)
+        if isinstance(node, _EAlt):
+            return "(" + "|".join(conv(o) for o in node.options) + ")"
+        if isinstance(node, _ERep):
+            return "(" + conv(node.node) + ")" + node.suffix
+        raise TypeError(node)
+
+    out = {root: conv(rules[root])}
+    for name in recursive:
+        out[name] = conv(rules[name])
+    for name, body in out.items():
+        if len(body) > 500_000:
+            raise ValueError(
+                f"EBNF rule {name!r} expands too large ({len(body)} chars)"
+            )
+    return out, bool(recursive)
+
+
 # ---------------------------------------------------------------------------
 # JSON schema → regex
 # ---------------------------------------------------------------------------
@@ -892,15 +1034,56 @@ def _const_regex(value) -> str:
     return _regex_escape(json.dumps(value, ensure_ascii=False, separators=(",", ":")))
 
 
+def _schema_refs(node) -> set[str]:
+    """All `$ref` def-names in a schema subtree."""
+    out: set[str] = set()
+    if isinstance(node, dict):
+        ref = node.get("$ref")
+        if isinstance(ref, str):
+            out.add(ref.split("/")[-1])
+        for v in node.values():
+            out |= _schema_refs(v)
+    elif isinstance(node, list):
+        for v in node:
+            out |= _schema_refs(v)
+    return out
+
+
 def schema_to_regex(schema: dict, max_depth: int = 6) -> str:
-    """JSON-schema subset → full-match regex. Supported: type
-    object/array/string/number/integer/boolean/null, enum, const,
-    properties/required/additionalProperties:false, items,
+    """Legacy single-regex form of `schema_to_rules` (acyclic schemas
+    only; a recursive schema raises — use JsonSchemaGrammar, which
+    routes recursion to the pushdown backend)."""
+    rules, recursive = schema_to_rules(schema, max_depth=max_depth)
+    if recursive:
+        raise ValueError(
+            "recursive schema cannot compile to a single regex; use "
+            "JsonSchemaGrammar (pushdown backend)"
+        )
+    return rules["root"]
+
+
+def schema_to_rules(
+    schema: dict, max_depth: int = 6
+) -> tuple[dict[str, str], bool]:
+    """JSON-schema subset → rule set ({name: regex}, any_recursion).
+    Recursive `$ref` cycles through #/$defs or #/definitions become
+    `(?&def:name)` calls (pushdown backend, unbounded nesting); acyclic
+    refs inline (depth-capped against exponential DAG expansion).
+
+    Supported: type object/array/string/number/integer/boolean/null,
+    enum, const, properties/required/additionalProperties:false, items,
     minItems/maxItems, minLength/maxLength, pattern (inlined),
-    anyOf/oneOf, $ref to #/$defs or #/definitions (depth-capped)."""
+    anyOf/oneOf, $ref.
+
+    Semantics notes (deviations documented on JsonSchemaGrammar):
+    absent `required` means NO property required (JSON Schema
+    semantics); properties are emitted in schema order;
+    `additionalProperties` must be false/absent."""
     defs = {}
     for key in ("$defs", "definitions"):
         defs.update(schema.get(key, {}))
+    graph = {name: _schema_refs(sub) & set(defs) for name, sub in defs.items()}
+    recursive = _recursive_names(graph)
 
     def conv(s: dict, depth: int) -> str:
         if depth <= 0:
@@ -912,6 +1095,8 @@ def schema_to_regex(schema: dict, max_depth: int = 6) -> str:
             name = ref.split("/")[-1]
             if name not in defs:
                 raise ValueError(f"unresolvable $ref {ref!r}")
+            if name in recursive:
+                return f"(?&def:{name})"
             return conv(defs[name], depth - 1)
         if "const" in s:
             return _const_regex(s["const"])
@@ -961,7 +1146,10 @@ def schema_to_regex(schema: dict, max_depth: int = 6) -> str:
             return rf"\[{_WS}{body}{_WS}\]"
         if t == "object" or "properties" in s:
             props = s.get("properties", {})
-            required = set(s.get("required", list(props.keys())))
+            # JSON Schema semantics: absent `required` requires NOTHING
+            # (round-2 review: the old all-required default silently
+            # deviated)
+            required = set(s.get("required", []))
             if s.get("additionalProperties", False) not in (False, None):
                 raise ValueError("additionalProperties must be false")
             pairs = []
@@ -995,4 +1183,7 @@ def schema_to_regex(schema: dict, max_depth: int = 6) -> str:
             return rf"\{{{_WS}{body}{_WS}\}}"
         raise ValueError(f"unsupported schema: {s!r}")
 
-    return conv(schema, max_depth)
+    rules = {"root": conv(schema, max_depth)}
+    for name in recursive:
+        rules[f"def:{name}"] = conv(defs[name], max_depth)
+    return rules, bool(recursive)
