@@ -52,6 +52,39 @@ def make_corpus(rng: np.random.Generator, n_sentences: int) -> str:
     return "".join(out)
 
 
+def make_corpus_hard(rng: np.random.Generator, n_records: int) -> str:
+    """Mixed-structure corpus with IRREDUCIBLE entropy (random hex ids,
+    numbers) so the trained target's ppl cannot saturate near 1 — the
+    round-2 review's criterion for non-trivial Δppl/acceptance evidence
+    (dense ppl >= 2.5). Prose, JSON-ish records, and arithmetic lines
+    interleave so the models must learn real structure too."""
+    out = []
+    for _ in range(n_records):
+        kind = rng.integers(0, 4)
+        if kind == 0:  # prose with a relative clause
+            out.append(
+                f"the {rng.choice(ADJ)} {rng.choice(NOUN)} that "
+                f"{rng.choice(VERB)} the {rng.choice(NOUN)} "
+                f"{rng.choice(VERB)} a {rng.choice(ADJ)} {rng.choice(NOUN)}. "
+            )
+        elif kind == 1:  # JSON-ish record with random id + number
+            rid = "".join(rng.choice(list("0123456789abcdef"), size=6))
+            out.append(
+                f'{{"id":"{rid}","n":{rng.integers(0, 100000)},'
+                f'"tag":"{rng.choice(ADJ)}"}} '
+            )
+        elif kind == 2:  # arithmetic (structured but value-random)
+            a, b = rng.integers(0, 1000, size=2)
+            out.append(f"{a}+{b}={a + b}; ")
+        else:  # key=value log line with hex noise
+            rid = "".join(rng.choice(list("0123456789abcdef"), size=8))
+            out.append(
+                f"user={rid} score={rng.integers(0, 1000)} "
+                f"item={rng.choice(NOUN)}\n"
+            )
+    return "".join(out)
+
+
 def batches(rng, text_bytes: np.ndarray, B: int, T: int, steps: int):
     n = len(text_bytes) - T - 1
     for _ in range(steps):
@@ -68,6 +101,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--seqlen", type=int, default=64)
     ap.add_argument("--out", default="/tmp/vot_tiny_pair")
+    ap.add_argument("--hard", action="store_true",
+                    help="mixed-structure corpus with irreducible entropy "
+                         "+ larger pair + K in {2,4,8} (round-3 evidence)")
     args = ap.parse_args()
 
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
@@ -87,8 +123,12 @@ def main():
     from vllm_omni_draft_tpu.ops.attention import AttentionMetadata
 
     rng = np.random.default_rng(0)
-    train_text = make_corpus(rng, 4000)
-    eval_text = make_corpus(np.random.default_rng(1), 300)
+    if args.hard:
+        train_text = make_corpus_hard(rng, 20000)
+        eval_text = make_corpus_hard(np.random.default_rng(1), 1500)
+    else:
+        train_text = make_corpus(rng, 4000)
+        eval_text = make_corpus(np.random.default_rng(1), 300)
     train_bytes = np.frombuffer(train_text.encode(), np.uint8).astype(np.int32)
     eval_bytes = np.frombuffer(eval_text.encode(), np.uint8).astype(np.int32)
 
@@ -158,20 +198,34 @@ def main():
             cnt += 1
         return float(np.exp(tot / cnt))
 
-    tcfg = ModelConfig.tiny(
-        vocab_size=258, hidden_size=128, intermediate_size=512,
-        num_layers=4, num_heads=4, num_kv_heads=2, head_dim=32,
-        max_model_len=256, dtype="float32",
-    )
-    dcfg = ModelConfig.tiny(
-        vocab_size=258, hidden_size=64, intermediate_size=256,
-        num_layers=2, num_heads=2, num_kv_heads=2, head_dim=32,
-        max_model_len=256, dtype="float32",
-    )
+    if args.hard:
+        # int4 group quantization needs hidden/intermediate % 128 == 0
+        tcfg = ModelConfig.tiny(
+            vocab_size=258, hidden_size=256, intermediate_size=1024,
+            num_layers=6, num_heads=8, num_kv_heads=2, head_dim=32,
+            max_model_len=256, dtype="float32",
+        )
+        dcfg = ModelConfig.tiny(
+            vocab_size=258, hidden_size=128, intermediate_size=512,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+            max_model_len=256, dtype="float32",
+        )
+    else:
+        tcfg = ModelConfig.tiny(
+            vocab_size=258, hidden_size=128, intermediate_size=512,
+            num_layers=4, num_heads=4, num_kv_heads=2, head_dim=32,
+            max_model_len=256, dtype="float32",
+        )
+        dcfg = ModelConfig.tiny(
+            vocab_size=258, hidden_size=64, intermediate_size=256,
+            num_layers=2, num_heads=2, num_kv_heads=2, head_dim=32,
+            max_model_len=256, dtype="float32",
+        )
 
-    print("training target (4L/128d)...", file=sys.stderr)
+    print(f"training target ({tcfg.num_layers}L/{tcfg.hidden_size}d)...",
+          file=sys.stderr)
     tparams, tloss = train(tcfg, args.steps, seed=0)
-    print("training draft (2L/64d)...", file=sys.stderr)
+    print(f"training draft ({dcfg.num_layers}L/{dcfg.hidden_size}d)...", file=sys.stderr)
     dparams, _ = train(dcfg, args.steps, seed=1)
 
     # ---- Δppl: dense vs int8 vs int4 on the TRAINED target ----
@@ -242,7 +296,7 @@ def main():
                        "delta_int4": round(ppl_int4 - ppl_dense, 4)},
                "target_shards": n_shards,
                "acceptance": {}}
-    for k in (2, 4):
+    for k in ((2, 4, 8) if args.hard else (2, 4)):
         for sampled in (False, True):
             acc, tps = acceptance(k, sampled)
             tag = f"k{k}_{'sampled' if sampled else 'greedy'}"
