@@ -145,6 +145,22 @@ class Scheduler:
     def has_unfinished(self) -> bool:
         return bool(self.waiting or self.running)
 
+    def purge_finished(self) -> int:
+        """Drop finished requests from the `requests` map. Finished
+        entries are retained by default so callers (tests, post-hoc
+        inspection, the in-process LLM layer) can read final state after
+        the run — but a long-lived serving engine must call this
+        periodically or the map grows without bound (the IPC proc loop
+        does). Returns the number purged."""
+        gone = [rid for rid, r in self.requests.items() if r.is_finished]
+        for rid in gone:
+            del self.requests[rid]
+            # finished-set bookkeeping (reference: include_finished_set,
+            # engine_core.md:91) is a notification set, not a permanent
+            # record — drop purged ids so it stays bounded too
+            self.finished_ids.discard(rid)
+        return len(gone)
+
     # ------------------------------------------------------------------
     # schedule
     # ------------------------------------------------------------------

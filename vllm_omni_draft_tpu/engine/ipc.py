@@ -152,6 +152,9 @@ def _engine_proc_main(
                     for r in updated:
                         r.num_streamed_tokens = len(r.output_token_ids)
                     out_sock.send_multipart([ADD, pickle.dumps(outs)])
+                    # finished state has been streamed: drop it so the
+                    # request map stays bounded over a long serving run
+                    engine.scheduler.purge_finished()
     except Exception as e:  # step-loop failure: tell the client, then die
         out_sock.send_multipart([
             ERROR,

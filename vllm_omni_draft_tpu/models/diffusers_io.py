@@ -301,3 +301,176 @@ def _reshard(path: str, max_shard_bytes: int) -> None:
     with open(os.path.join(path, INDEX_NAME), "w") as f:
         json.dump({"metadata": {"total_size": total},
                    "weight_map": weight_map}, f)
+
+
+# ---------------------------------------------------------------------------
+# Qwen-Image dual-stream DiT (models/qwen_image_dit.py) — the EXACT
+# public diffusers `QwenImageTransformer2DModel` parameter names, so a
+# real Qwen-Image checkpoint directory loads as-is (round-2 review item
+# 4; the architecture the reference drives at
+# `/root/reference/src/qwen_image/runner_adapter.py:8-13, 127-141`).
+# ---------------------------------------------------------------------------
+
+QWEN_IMAGE_GLOBAL = {
+    ("img_in", "w"): "img_in.weight",
+    ("img_in", "b"): "img_in.bias",
+    ("txt_norm", "w"): "txt_norm.weight",
+    ("txt_in", "w"): "txt_in.weight",
+    ("txt_in", "b"): "txt_in.bias",
+    ("time_embed", "w1"):
+        "time_text_embed.timestep_embedder.linear_1.weight",
+    ("time_embed", "b1"):
+        "time_text_embed.timestep_embedder.linear_1.bias",
+    ("time_embed", "w2"):
+        "time_text_embed.timestep_embedder.linear_2.weight",
+    ("time_embed", "b2"):
+        "time_text_embed.timestep_embedder.linear_2.bias",
+    ("norm_out", "w"): "norm_out.linear.weight",
+    ("norm_out", "b"): "norm_out.linear.bias",
+    ("proj_out", "w"): "proj_out.weight",
+    ("proj_out", "b"): "proj_out.bias",
+}
+
+QWEN_IMAGE_GUIDANCE = {
+    ("guidance_embed", "w1"):
+        "time_text_embed.guidance_embedder.linear_1.weight",
+    ("guidance_embed", "b1"):
+        "time_text_embed.guidance_embedder.linear_1.bias",
+    ("guidance_embed", "w2"):
+        "time_text_embed.guidance_embedder.linear_2.weight",
+    ("guidance_embed", "b2"):
+        "time_text_embed.guidance_embedder.linear_2.bias",
+}
+
+# per-block names; {i} = block index. img_mod/txt_mod index ".1" because
+# diffusers wraps them as nn.Sequential(SiLU, Linear).
+QWEN_IMAGE_LAYER = {
+    ("img_mod", "w"): "transformer_blocks.{i}.img_mod.1.weight",
+    ("img_mod", "b"): "transformer_blocks.{i}.img_mod.1.bias",
+    ("txt_mod", "w"): "transformer_blocks.{i}.txt_mod.1.weight",
+    ("txt_mod", "b"): "transformer_blocks.{i}.txt_mod.1.bias",
+    ("img_q", "w"): "transformer_blocks.{i}.attn.to_q.weight",
+    ("img_q", "b"): "transformer_blocks.{i}.attn.to_q.bias",
+    ("img_k", "w"): "transformer_blocks.{i}.attn.to_k.weight",
+    ("img_k", "b"): "transformer_blocks.{i}.attn.to_k.bias",
+    ("img_v", "w"): "transformer_blocks.{i}.attn.to_v.weight",
+    ("img_v", "b"): "transformer_blocks.{i}.attn.to_v.bias",
+    ("txt_q", "w"): "transformer_blocks.{i}.attn.add_q_proj.weight",
+    ("txt_q", "b"): "transformer_blocks.{i}.attn.add_q_proj.bias",
+    ("txt_k", "w"): "transformer_blocks.{i}.attn.add_k_proj.weight",
+    ("txt_k", "b"): "transformer_blocks.{i}.attn.add_k_proj.bias",
+    ("txt_v", "w"): "transformer_blocks.{i}.attn.add_v_proj.weight",
+    ("txt_v", "b"): "transformer_blocks.{i}.attn.add_v_proj.bias",
+    ("img_qnorm", "w"): "transformer_blocks.{i}.attn.norm_q.weight",
+    ("img_knorm", "w"): "transformer_blocks.{i}.attn.norm_k.weight",
+    ("txt_qnorm", "w"): "transformer_blocks.{i}.attn.norm_added_q.weight",
+    ("txt_knorm", "w"): "transformer_blocks.{i}.attn.norm_added_k.weight",
+    ("img_out", "w"): "transformer_blocks.{i}.attn.to_out.0.weight",
+    ("img_out", "b"): "transformer_blocks.{i}.attn.to_out.0.bias",
+    ("txt_out", "w"): "transformer_blocks.{i}.attn.to_add_out.weight",
+    ("txt_out", "b"): "transformer_blocks.{i}.attn.to_add_out.bias",
+    ("img_mlp1", "w"): "transformer_blocks.{i}.img_mlp.net.0.proj.weight",
+    ("img_mlp1", "b"): "transformer_blocks.{i}.img_mlp.net.0.proj.bias",
+    ("img_mlp2", "w"): "transformer_blocks.{i}.img_mlp.net.2.weight",
+    ("img_mlp2", "b"): "transformer_blocks.{i}.img_mlp.net.2.bias",
+    ("txt_mlp1", "w"): "transformer_blocks.{i}.txt_mlp.net.0.proj.weight",
+    ("txt_mlp1", "b"): "transformer_blocks.{i}.txt_mlp.net.0.proj.bias",
+    ("txt_mlp2", "w"): "transformer_blocks.{i}.txt_mlp.net.2.weight",
+    ("txt_mlp2", "b"): "transformer_blocks.{i}.txt_mlp.net.2.bias",
+}
+
+
+def save_qwen_image_checkpoint(params: dict, cfg, path: str,
+                               max_shard_bytes: int | None = None) -> None:
+    """Write a Qwen-Image DiT param tree as a diffusers-format
+    `QwenImageTransformer2DModel` checkpoint directory."""
+    flat: dict[str, np.ndarray] = {}
+    globals_map = dict(QWEN_IMAGE_GLOBAL)
+    if cfg.guidance_embeds:
+        globals_map.update(QWEN_IMAGE_GUIDANCE)
+    for tree_path, name in globals_map.items():
+        node = _tree_get(params, tree_path)
+        if node is None:
+            raise ValueError(f"param tree missing {tree_path}")
+        flat[name] = _to_np(node)
+    for tree_path, pattern in QWEN_IMAGE_LAYER.items():
+        node = _tree_get(params["blocks"], tree_path)
+        if node is None:
+            raise ValueError(f"param tree missing blocks.{tree_path}")
+        stacked = _to_np(node)
+        for i in range(cfg.num_layers):
+            flat[pattern.format(i=i)] = stacked[i]
+    _write_component(flat, path)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(
+            {
+                "_class_name": "QwenImageTransformer2DModel",
+                "num_layers": cfg.num_layers,
+                "num_attention_heads": cfg.num_attention_heads,
+                "attention_head_dim": cfg.attention_head_dim,
+                "joint_attention_dim": cfg.joint_attention_dim,
+                "in_channels": cfg.in_channels,
+                "out_channels": cfg.out_channels,
+                "patch_size": cfg.patch_size,
+                "guidance_embeds": cfg.guidance_embeds,
+                "axes_dims_rope": list(cfg.axes_dims_rope),
+            },
+            f, indent=1,
+        )
+    if max_shard_bytes is not None:
+        _reshard(path, max_shard_bytes)
+
+
+def load_qwen_image_config(path: str):
+    from vllm_omni_draft_tpu.models.qwen_image_dit import QwenImageDiTConfig
+
+    with open(os.path.join(path, "config.json")) as f:
+        raw = json.load(f)
+    fields = {}
+    for k in ("num_layers", "num_attention_heads", "attention_head_dim",
+              "joint_attention_dim", "in_channels", "out_channels",
+              "patch_size", "guidance_embeds"):
+        if k in raw:
+            fields[k] = raw[k]
+    if "axes_dims_rope" in raw:
+        fields["axes_dims_rope"] = tuple(raw["axes_dims_rope"])
+    return QwenImageDiTConfig(**fields)
+
+
+def load_qwen_image_weights(path: str, cfg=None,
+                            dtype=None) -> tuple[dict, object]:
+    """Load a diffusers-format `QwenImageTransformer2DModel` checkpoint
+    (single- or multi-shard) into the scan-stacked param tree of
+    models/qwen_image_dit.py. Returns (params, config)."""
+    cfg = cfg or load_qwen_image_config(path)
+    dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        dtype or cfg.dtype
+    ]
+    raw = _read_component(path)
+    globals_map = dict(QWEN_IMAGE_GLOBAL)
+    if cfg.guidance_embeds:
+        globals_map.update(QWEN_IMAGE_GUIDANCE)
+    params: dict = {"blocks": {}}
+    missing = []
+    for tree_path, name in globals_map.items():
+        if name in raw:
+            _tree_set(params, tree_path, _from_np(raw[name], dt))
+        else:
+            missing.append(name)
+    for tree_path, pattern in QWEN_IMAGE_LAYER.items():
+        if pattern.format(i=0) not in raw:
+            missing.append(pattern.format(i=0))
+            continue
+        stacked = jnp.stack(
+            [
+                _from_np(raw[pattern.format(i=i)], dt)
+                for i in range(cfg.num_layers)
+            ]
+        )
+        _tree_set(params["blocks"], tree_path, stacked)
+    if missing:
+        raise ValueError(
+            f"Qwen-Image checkpoint {path} missing params: {missing[:8]}"
+            + ("..." if len(missing) > 8 else "")
+        )
+    return params, cfg

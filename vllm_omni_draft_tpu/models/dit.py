@@ -338,25 +338,54 @@ class DiffusionStageEngine:
 
     def __init__(self, stage_config=None, dit_config: DiTConfig | None = None,
                  vae=None, checkpoint_dir: str | None = None, **_):
+        from vllm_omni_draft_tpu.models.qwen_image_dit import QwenImageDiTConfig
+
+        self.arch = "vot"  # single-stream MMDiT (models/dit.py)
+        if isinstance(dit_config, QwenImageDiTConfig):
+            self.arch = "qwen_image"
         if checkpoint_dir is not None:
             # diffusers-format directory: transformer/ (+ optional vae/)
+            import json as _json
+
             from vllm_omni_draft_tpu.models import diffusers_io, vae as vae_mod
 
             tdir = os.path.join(checkpoint_dir, "transformer")
             tdir = tdir if os.path.isdir(tdir) else checkpoint_dir
-            self.params, self.cfg = diffusers_io.load_dit_weights(
-                tdir, cfg=dit_config
-            )
+            with open(os.path.join(tdir, "config.json")) as f:
+                cls_name = _json.load(f).get("_class_name", "")
+            if cls_name == "QwenImageTransformer2DModel":
+                self.arch = "qwen_image"
+                self.params, self.cfg = diffusers_io.load_qwen_image_weights(
+                    tdir, cfg=dit_config
+                )
+            else:
+                self.params, self.cfg = diffusers_io.load_dit_weights(
+                    tdir, cfg=dit_config
+                )
             vdir = os.path.join(checkpoint_dir, "vae")
             if vae is None and os.path.isdir(vdir):
                 vae = vae_mod.VAE.from_diffusers(vdir)
+        elif self.arch == "qwen_image":
+            from vllm_omni_draft_tpu.models import qwen_image_dit
+
+            self.cfg = dit_config
+            self.params = jax.jit(lambda: qwen_image_dit.init_params(self.cfg))()
         else:
             self.cfg = dit_config or DiTConfig()
             self.params = jax.jit(lambda: init_params(self.cfg))()
         self.vae = vae
-        self._denoisers: dict[int, object] = {}
+        self._denoisers: dict[object, object] = {}
 
-    def _get_denoiser(self, steps: int):
+    def _get_denoiser(self, steps: int, img_shapes: tuple | None = None):
+        if self.arch == "qwen_image":
+            from vllm_omni_draft_tpu.models import qwen_image_dit
+
+            key = (steps, img_shapes)
+            if key not in self._denoisers:
+                self._denoisers[key] = jax.jit(
+                    qwen_image_dit.make_denoiser(self.cfg, steps, img_shapes)
+                )
+            return self._denoisers[key]
         if steps not in self._denoisers:
             self._denoisers[steps] = jax.jit(make_denoiser(self.cfg, steps))
         return self._denoisers[steps]
@@ -372,7 +401,10 @@ class DiffusionStageEngine:
         return outs
 
     def _generate_one(self, inp: ImageGenInputs) -> ImageGenOutputs:
-        C = self.cfg.latent_channels
+        qwen = self.arch == "qwen_image"
+        C = (
+            self.cfg.out_channels if qwen else self.cfg.latent_channels
+        )
         h, w = inp.height // 8, inp.width // 8
         key = jax.random.PRNGKey(inp.seed if inp.seed is not None else 0)
         if inp.task == ImageTask.TEXT_TO_IMAGE or inp.image_latents is None:
@@ -381,6 +413,9 @@ class DiffusionStageEngine:
             il = jnp.asarray(np.asarray(inp.image_latents), jnp.float32)
             noise = jax.random.normal(key, il.shape, jnp.float32)
             latents = 0.5 * il + 0.5 * noise  # I2I: partial renoise
+        text_dim = (
+            self.cfg.joint_attention_dim if qwen else self.cfg.text_dim
+        )
         if inp.prompt_embeds is not None:
             te = jnp.asarray(np.asarray(inp.prompt_embeds), jnp.float32)
             tm = (
@@ -389,10 +424,27 @@ class DiffusionStageEngine:
                 else jnp.ones(te.shape[:2], jnp.int32)
             )
         else:
-            te = jnp.zeros((1, 8, self.cfg.text_dim), jnp.float32)
+            te = jnp.zeros((1, 8, text_dim), jnp.float32)
             tm = jnp.ones((1, 8), jnp.int32)
-        denoise = self._get_denoiser(inp.num_inference_steps)
-        latents = denoise(self.params, latents, te, tm, inp.guidance_scale, key)
+        if qwen:
+            # pack 2x2 latent patches into tokens [1, N, C*P^2] (the
+            # layout QwenImageTransformer2DModel consumes), denoise in
+            # token space, unpack
+            P = self.cfg.patch_size
+            hp, wp = h // P, w // P
+            x = latents.reshape(1, C, hp, P, wp, P)
+            tokens = x.transpose(0, 2, 4, 1, 3, 5).reshape(1, hp * wp, C * P * P)
+            denoise = self._get_denoiser(
+                inp.num_inference_steps, (1, hp, wp)
+            )
+            tokens = denoise(self.params, tokens, te, tm, inp.guidance_scale)
+            x = tokens.reshape(1, hp, wp, C, P, P)
+            latents = x.transpose(0, 3, 1, 4, 2, 5).reshape(1, C, hp * P, wp * P)
+        else:
+            denoise = self._get_denoiser(inp.num_inference_steps)
+            latents = denoise(
+                self.params, latents, te, tm, inp.guidance_scale, key
+            )
 
         pixels = None
         if inp.output_mode in (ImageOutputMode.PIXELS,
@@ -402,8 +454,7 @@ class DiffusionStageEngine:
             else:
                 from vllm_omni_draft_tpu.models import vae as vae_mod
 
-                self.vae = vae_mod.VAE(vae_mod.VAEConfig(
-                    latent_channels=self.cfg.latent_channels))
+                self.vae = vae_mod.VAE(vae_mod.VAEConfig(latent_channels=C))
                 pixels = self.vae.decode(latents)
         return ImageGenOutputs(
             latents=latents

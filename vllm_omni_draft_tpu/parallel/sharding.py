@@ -127,8 +127,15 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_kv_cache(kv, mesh: Mesh):
-    s = kv_cache_sharding(mesh)
-    return jax.device_put(kv, {"k": s, "v": s})
+    # kv_heads < tp (head replication): drop the indivisible TP axis —
+    # same fallback the runner takes (runner._make_kv)
+    def put(leaf):
+        spec = _divisible_spec(
+            mesh, P(None, None, None, TP_AXIS, None), leaf.shape
+        )
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return {"k": put(kv["k"]), "v": put(kv["v"])}
 
 
 def replicate(tree, mesh: Mesh):
