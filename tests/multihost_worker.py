@@ -18,13 +18,22 @@ cross-process collectives ran coherently).
 import os
 import sys
 
-host_id, num_hosts, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=4"
-)
+if __name__ == "__main__":
+    # env must be pinned BEFORE jax imports; only when run as a script
+    # (the parity test imports engine_cfg/ENGINE_PROMPTS from this module
+    # inside an already-initialized pytest process)
+    host_id = int(sys.argv[1])
+    num_hosts, port = int(sys.argv[2]), int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "raw"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    )
+else:
+    host_id = num_hosts = port = 0
+    mode = "raw"
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -35,6 +44,62 @@ from vllm_omni_draft_tpu.models import qwen2  # noqa: E402
 from vllm_omni_draft_tpu.ops.attention import AttentionMetadata  # noqa: E402
 from vllm_omni_draft_tpu.parallel import sharding as shd  # noqa: E402
 from vllm_omni_draft_tpu.parallel.mesh import init_distributed, make_mesh  # noqa: E402
+
+
+def engine_cfg(pcfg):
+    """Tiny engine config shared by the multi-process run and the
+    single-process parity reference (tests/test_multihost.py)."""
+    from vllm_omni_draft_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        SchedulerConfig,
+        SpeculativeConfig,
+    )
+
+    target = ModelConfig.tiny(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_heads=8, num_kv_heads=4, head_dim=8, quantization="int8",
+        max_model_len=128,
+    )
+    draft = ModelConfig.tiny(
+        vocab_size=512, hidden_size=32, intermediate_size=64,
+        num_heads=4, num_kv_heads=2, head_dim=8, max_model_len=128,
+    )
+    return EngineConfig(
+        model=target,
+        cache=CacheConfig(block_size=8, num_blocks=64),
+        scheduler=SchedulerConfig(
+            max_num_seqs=4, max_num_batched_tokens=64,
+            prefill_buckets=(16, 64),
+        ),
+        parallel=pcfg,
+        speculative=SpeculativeConfig(
+            draft_model=draft, num_speculative_tokens=2
+        ),
+        seed=0,
+    )
+
+
+ENGINE_PROMPTS = [[1, 2, 3, 4, 5], [7, 8, 9], [11, 12, 13, 14, 15, 16], [2]]
+
+
+def run_engine(pcfg):
+    """The FULL LLM/engine stack over the global mesh (SURVEY §7 step 7:
+    every host runs the same deterministic schedule — replicated-driver
+    SPMD — and the sharded device steps span processes). Prints one
+    ENGINE_TOKENS line whose payload must be identical on every host AND
+    identical to a single-process run of the same config."""
+    from vllm_omni_draft_tpu.core.request import SamplingParams
+    from vllm_omni_draft_tpu.engine.llm import LLM
+
+    sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+    llm = LLM(engine_cfg(pcfg))
+    outs = llm.generate(ENGINE_PROMPTS, sp)
+    toks = [o.outputs[0].token_ids for o in outs]
+    stats = llm.get_stats()["spec_decode"]
+    assert stats.num_draft_tokens > 0
+    print(f"ENGINE_TOKENS {host_id} {toks!r}", flush=True)
 
 
 def main():
@@ -50,6 +115,10 @@ def main():
     assert jax.process_count() == num_hosts, jax.process_count()
     assert len(jax.devices()) == 8, len(jax.devices())  # global devices
     assert len(jax.local_devices()) == 4
+
+    if mode == "engine":
+        run_engine(pcfg)
+        return
 
     # explicit cross-process collective sanity: psum over all devices
     from jax.experimental import multihost_utils

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vllm_omni_draft_tpu.parallel.mesh import host_np
+
 from vllm_omni_draft_tpu.config import EngineConfig, ModelConfig
 from vllm_omni_draft_tpu.core.request import Request
 from vllm_omni_draft_tpu.core.scheduler import RunnerOutput, SchedulerOutput
@@ -755,7 +757,7 @@ class ModelRunner:
         mean, last = self._encode_fns[T](
             self.target_params, jnp.asarray(tokens), jnp.int32(n)
         )
-        return np.asarray(mean if pooling == "mean" else last)
+        return host_np(mean if pooling == "mean" else last)
 
     # ------------------------------------------------------------------
     # KV swap (host offload) — executes the scheduler's swap_out/swap_in
@@ -849,7 +851,7 @@ class ModelRunner:
         from vllm_omni_draft_tpu.models.vision import IMAGE_PAD_TOKEN_ID
 
         mm = req.mm_inputs
-        embeds = np.asarray(mm["embeds"])
+        embeds = host_np(mm["embeds"])
         pad_id = mm.get("image_token_id", IMAGE_PAD_TOKEN_ID)
         D = embeds.shape[-1]
         mask = chunk_tokens == pad_id  # [T_pad] (padding zeros never match)
@@ -931,9 +933,9 @@ class ModelRunner:
                         jnp.asarray(nxt),
                     )
                 )
-                ids_np = np.asarray(plp_ids)
-                vals_np = np.asarray(plp_vals)
-                chosen_np = np.asarray(plp_chosen)
+                ids_np = host_np(plp_ids)
+                vals_np = host_np(plp_vals)
+                chosen_np = host_np(plp_chosen)
                 k_plp = min(
                     req.sampling_params.prompt_logprobs, ids_np.shape[-1]
                 )
@@ -1091,11 +1093,11 @@ class ModelRunner:
                     def finish_free(toks=toks, num_emitted=num_emitted,
                                     lp_vals=lp_vals, lp_ids=lp_ids,
                                     lp_chosen=lp_chosen):
-                        toks_np = np.asarray(toks)      # [B, M, K+1]
-                        n_np = np.asarray(num_emitted)  # [B, M]
-                        vals_np = np.asarray(lp_vals)   # [B, M, K+1, LPK]
-                        ids_np = np.asarray(lp_ids)
-                        chosen_np = np.asarray(lp_chosen)  # [B, M, K+1]
+                        toks_np = host_np(toks)      # [B, M, K+1]
+                        n_np = host_np(num_emitted)  # [B, M]
+                        vals_np = host_np(lp_vals)   # [B, M, K+1, LPK]
+                        ids_np = host_np(lp_ids)
+                        chosen_np = host_np(lp_chosen)  # [B, M, K+1]
                         for req in free_rows:
                             if req.slot < 0:
                                 continue
@@ -1138,9 +1140,9 @@ class ModelRunner:
 
                     def finish_free(toks=toks, lp_vals=lp_vals, lp_ids=lp_ids,
                                     lp_chosen=lp_chosen):
-                        toks_np = np.asarray(toks)
-                        vals_np, ids_np = np.asarray(lp_vals), np.asarray(lp_ids)
-                        chosen_np = np.asarray(lp_chosen)
+                        toks_np = host_np(toks)
+                        vals_np, ids_np = host_np(lp_vals), host_np(lp_ids)
+                        chosen_np = host_np(lp_chosen)
                         for req in free_rows:
                             if req.slot < 0:
                                 continue
@@ -1184,8 +1186,8 @@ class ModelRunner:
                         )
 
                     def finish_free(toks=toks, num_emitted=num_emitted):
-                        toks_np = np.asarray(toks)  # [B, M, K+1]
-                        n_np = np.asarray(num_emitted)  # [B, M]
+                        toks_np = host_np(toks)  # [B, M, K+1]
+                        n_np = host_np(num_emitted)  # [B, M]
                         for req in free_rows:
                             if req.slot < 0:
                                 continue
@@ -1213,7 +1215,7 @@ class ModelRunner:
                         )
 
                     def finish_free(toks=toks):
-                        toks_np = np.asarray(toks)  # [B, M]
+                        toks_np = host_np(toks)  # [B, M]
                         for req in free_rows:
                             if req.slot < 0:
                                 continue
@@ -1243,7 +1245,7 @@ class ModelRunner:
                 out_feed = None
 
                 def finish_struct(toks=toks_s):
-                    toks_np = np.asarray(toks)  # [B, 1]
+                    toks_np = host_np(toks)  # [B, 1]
                     for req in struct_rows:
                         if req.slot < 0:
                             continue  # aborted while in flight

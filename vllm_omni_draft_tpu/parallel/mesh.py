@@ -50,3 +50,23 @@ def single_device_mesh() -> Mesh:
         (DP_AXIS, TP_AXIS),
         axis_types=(AxisType.Auto, AxisType.Auto),
     )
+
+
+def host_np(x) -> np.ndarray:
+    """Device array -> host numpy, multi-process-safe.
+
+    Single-process (the common case): plain np.asarray. Under
+    `jax.distributed` a global array's shards live on other hosts and
+    np.asarray raises; replicated arrays read their local copy, sharded
+    ones allgather (driver-on-every-host engine replication, SURVEY §7
+    step 7: each host computes the same schedule, so every host needs
+    the same readback values)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.is_fully_replicated:
+            return np.asarray(x.addressable_data(0))
+        from jax.experimental import multihost_utils
+
+        return np.asarray(
+            multihost_utils.process_allgather(x, tiled=True)
+        )
+    return np.asarray(x)
