@@ -182,6 +182,15 @@ def main():
             )
         )
 
+    def active_reqs():
+        # finished/aborted requests LINGER in scheduler.requests (kept
+        # for post-hoc inspection; purge_finished drops them) — every
+        # accounting loop below must look at live requests only
+        return [
+            r for r in engine.scheduler.requests.values()
+            if not r.is_finished
+        ]
+
     # prefill + first decodes (compile happens here); wait until EVERY
     # request is past prefill so the measured steps are pure full-batch
     # decode (prefill admission is token-budget-limited and trickles)
@@ -189,7 +198,7 @@ def main():
     warm = 0
     while warm < 2:
         engine.step()
-        reqs = engine.scheduler.requests.values()
+        reqs = active_reqs()
         if reqs and all(r.output_token_ids for r in reqs):
             warm += 1
     log(f"warmup (incl. compile) {time.perf_counter()-t0:.1f}s")
@@ -211,6 +220,7 @@ def main():
             engine.abort_requests([r.request_id])
         while engine.has_unfinished() or engine.batch_queue:
             engine.step()
+        engine.scheduler.purge_finished()
         t_start = time.perf_counter()
         first: dict[str, float] = {}
         for i in range(B):
@@ -226,7 +236,7 @@ def main():
         while len(first) < B:
             engine.step()
             now = time.perf_counter()
-            for r in engine.scheduler.requests.values():
+            for r in active_reqs():
                 if r.output_token_ids and r.request_id not in first:
                     first[r.request_id] = now - t_start
         p50 = statistics.median(first.values())
@@ -259,6 +269,7 @@ def main():
             engine.abort_requests([r.request_id])
         while engine.has_unfinished() or engine.batch_queue:
             engine.step()
+        engine.scheduler.purge_finished()
         for i in range(B):
             engine.add_request(
                 Request(
@@ -275,7 +286,7 @@ def main():
         warm = 0
         while warm < 2:
             engine.step()
-            reqs = engine.scheduler.requests.values()
+            reqs = active_reqs()
             if reqs and all(r.output_token_ids for r in reqs):
                 warm += 1
 
@@ -288,22 +299,18 @@ def main():
         # mid-measurement (capped slots go inert and deflate tokens/step)
         max_len_now = max(
             len(r.prompt_token_ids) + len(r.output_token_ids)
-            for r in engine.scheduler.requests.values()
+            for r in active_reqs()
         )
         fit = max(1, (max_model_len - max_len_now - per_step) // per_step)
         wsteps = min(steps, fit)
         if wsteps < steps and w == 0:
             log(f"capping measured steps {steps} -> {fit} (max_model_len)")
-        gen0 = sum(
-            len(r.output_token_ids) for r in engine.scheduler.requests.values()
-        )
+        gen0 = sum(len(r.output_token_ids) for r in active_reqs())
         t0 = time.perf_counter()
         for _ in range(wsteps):
             engine.step()
         dt = time.perf_counter() - t0
-        gen1 = sum(
-            len(r.output_token_ids) for r in engine.scheduler.requests.values()
-        )
+        gen1 = sum(len(r.output_token_ids) for r in active_reqs())
         toks = gen1 - gen0
         window_tps.append(toks / dt)
         window_ms.append(dt / wsteps * 1000)

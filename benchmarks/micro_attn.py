@@ -53,9 +53,13 @@ def main():
         @jax.jit
         def run(q, k_cache, v_cache, bt, kv_lens):
             def body(c, layer):
+                spp = os.environ.get("SPP")
+                slots = os.environ.get("SLOTS")
                 o = pa.paged_attention_pallas(
                     q, k_cache, v_cache, bt, kv_lens, 0.0883,
                     chunk_blocks=int(os.environ.get("CHUNK", "8")),
+                    seqs_per_program=int(spp) if spp else None,
+                    num_slots=int(slots) if slots else None,
                     layer=layer,
                 )
                 return c + o[0, 0, 0, 0].astype(jnp.float32), None

@@ -18,7 +18,7 @@ run VOT_BENCH_ACCEPT=0.9
 run VOT_BENCH_ACCEPT=0.7                                        # honest realistic mode
 run VOT_BENCH_ACCEPT=1.0 VOT_BENCH_SAMPLED=1
 run VOT_BENCH_ACCEPT=0.7 VOT_BENCH_SAMPLED=1
-run VOT_BENCH_ACCEPT=1.0 VOT_BENCH_SAMPLED=1 VOT_BENCH_KV_DTYPE=float8_e4m3fn  # ladder-3
-run VOT_BENCH_ACCEPT=0.7 VOT_BENCH_SAMPLED=1 VOT_BENCH_KV_DTYPE=float8_e4m3fn  # ladder-3 honest
+run VOT_BENCH_ACCEPT=1.0 VOT_BENCH_SAMPLED=1 VOT_BENCH_KV_DTYPE=fp8  # ladder-3
+run VOT_BENCH_ACCEPT=0.7 VOT_BENCH_SAMPLED=1 VOT_BENCH_KV_DTYPE=fp8  # ladder-3 honest
 run VOT_BENCH_MODE=ttft
 echo "MATRIX DONE"

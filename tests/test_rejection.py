@@ -119,3 +119,71 @@ def test_pruned_q_vocab_matches_padded_q():
     out_b, n_b = rejection_sample(drafts, q_padded, p, key)
     np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
     np.testing.assert_array_equal(np.asarray(n_a), np.asarray(n_b))
+
+
+def test_sparse_matches_dense_rejection():
+    """rejection_sample_sparse (gather-based, logits-in) must make the
+    SAME accept decisions and emit the same tokens as compute_probs +
+    rejection_sample for identical keys, across sampled and greedy rows
+    (round-3: the sampled-verify path no longer materializes the
+    [B, K+1, V] f32 probs tensor)."""
+    from vllm_omni_draft_tpu.ops.rejection import rejection_sample_sparse
+    from vllm_omni_draft_tpu.ops.sampling import compute_probs
+
+    B, K, V, Vq = 6, 3, 2048, 512
+    rng = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    target_logits = jax.random.normal(k1, (B, K + 1, V), jnp.float32) * 3.0
+    # draft distributions over the pruned vocab (rows sum to 1)
+    q_logits = jax.random.normal(k2, (B, K, Vq), jnp.float32) * 2.0
+    q_probs = jax.nn.softmax(q_logits, axis=-1)
+    draft = jax.random.randint(k3, (B, K), 0, Vq, jnp.int32)
+
+    temps = jnp.asarray([0.0, 0.7, 1.0, 0.0, 1.3, 0.5])  # greedy rows mixed in
+    top_ks = jnp.asarray([0, 64, 0, 50, 100, 0], jnp.int32)
+    top_ps = jnp.asarray([1.0, 0.95, 0.9, 1.0, 0.8, 1.0])
+
+    for seed in range(4):
+        key = jax.random.PRNGKey(100 + seed)
+        p_probs = compute_probs(
+            target_logits.reshape(B * (K + 1), V),
+            jnp.repeat(temps, K + 1),
+            jnp.repeat(top_ks, K + 1),
+            jnp.repeat(top_ps, K + 1),
+        ).reshape(B, K + 1, V)
+        out_d, n_d = rejection_sample(draft, q_probs, p_probs, key)
+        out_s, n_s = rejection_sample_sparse(
+            draft, q_probs, target_logits, temps, top_ks, top_ps, key
+        )
+        np.testing.assert_array_equal(np.asarray(n_d), np.asarray(n_s))
+        np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_s))
+
+
+def test_sparse_greedy_rows_deterministic():
+    """Greedy rows through the sparse path must be pure argmax logic —
+    key-independent."""
+    from vllm_omni_draft_tpu.ops.rejection import rejection_sample_sparse
+
+    B, K, V = 2, 2, 512
+    tl = jax.random.normal(jax.random.PRNGKey(0), (B, K + 1, V))
+    am = np.asarray(jnp.argmax(tl, axis=-1))
+    draft = jnp.asarray([[int(am[0, 0]), int(am[0, 1])],
+                         [int(am[1, 0]) + 1, 0]], jnp.int32)
+    q = jnp.full((B, K, V), 1.0 / V)
+    temps = jnp.zeros((B,))
+    tk = jnp.zeros((B,), jnp.int32)
+    tp = jnp.ones((B,))
+    outs = [
+        rejection_sample_sparse(draft, q, tl, temps, tk, tp,
+                                jax.random.PRNGKey(s))
+        for s in range(3)
+    ]
+    for out, n in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(outs[0][0]))
+    out0, n0 = outs[0]
+    # row 0: all accepted + bonus argmax; row 1: first token wrong
+    assert int(n0[0]) == K + 1 and int(n0[1]) == 1
+    np.testing.assert_array_equal(
+        np.asarray(out0[0]), [am[0, 0], am[0, 1], am[0, 2]]
+    )
+    assert int(out0[1, 0]) == am[1, 0]

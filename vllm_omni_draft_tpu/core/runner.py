@@ -38,6 +38,7 @@ from vllm_omni_draft_tpu.parallel.mesh import TP_AXIS, make_mesh
 from vllm_omni_draft_tpu.ops.rejection import (
     rejection_greedy,
     rejection_sample_dispatch,
+    rejection_sample_sparse,
 )
 from vllm_omni_draft_tpu.ops.sampling import compute_probs, sample_from_probs
 
@@ -633,15 +634,27 @@ class ModelRunner:
                 q_probs = jnp.concatenate(
                     [q0[:, None, :], jnp.swapaxes(q_rest, 0, 1)], axis=1
                 )
-                p_probs = compute_probs(
-                    logits,
-                    jnp.repeat(temps, K + 1),
-                    jnp.repeat(top_ks, K + 1),
-                    jnp.repeat(top_ps, K + 1),
-                ).reshape(B, K + 1, V)
-                out_toks, num_emitted = rejection_sample_dispatch(
-                    draft_toks, q_probs, p_probs, jax.random.fold_in(key_i, 999)
-                )
+                if not with_logprobs:
+                    # gather-based path: accept probs via per-id gathers,
+                    # full distribution only at the ONE first-rejection
+                    # row — the [B, K+1, V] f32 probs tensor (~100 MB at
+                    # 7B) is never materialized
+                    out_toks, num_emitted = rejection_sample_sparse(
+                        draft_toks, q_probs, logits.reshape(B, K + 1, V),
+                        temps, top_ks, top_ps,
+                        jax.random.fold_in(key_i, 999),
+                    )
+                else:
+                    p_probs = compute_probs(
+                        logits,
+                        jnp.repeat(temps, K + 1),
+                        jnp.repeat(top_ks, K + 1),
+                        jnp.repeat(top_ps, K + 1),
+                    ).reshape(B, K + 1, V)
+                    out_toks, num_emitted = rejection_sample_dispatch(
+                        draft_toks, q_probs, p_probs,
+                        jax.random.fold_in(key_i, 999),
+                    )
                 if with_logprobs:
                     logp = jnp.log(jnp.maximum(p_probs, 1e-30))  # [B,K+1,V]
                     lvals, lids = jax.lax.top_k(logp, LPK)

@@ -123,6 +123,134 @@ def rejection_greedy(
     return out.astype(jnp.int32), (num_accepted + 1).astype(jnp.int32)
 
 
+def rejection_sample_sparse(
+    draft_tokens: jax.Array,  # [B, K] int32
+    q_probs: jax.Array,  # [B, K, Vq] f32 — draft distributions
+    target_logits: jax.Array,  # [B, K+1, V] float — RAW verify logits
+    temps: jax.Array,  # [B] f32; <=0 => greedy row
+    top_ks: jax.Array,  # [B] int32
+    top_ps: jax.Array,  # [B] f32
+    key: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Gather-based lossless rejection sampling STRAIGHT FROM LOGITS.
+
+    Identical output law to compute_probs + rejection_sample, without
+    ever materializing the [B, K+1, V] f32 target probability tensor
+    (round-2 review item 7: at the 7B verify shape that tensor is ~100MB
+    of HBM write+read per spec iteration):
+
+      * the accept test needs p only AT the draft token ids — computed
+        from per-row (kth, tau, mx, denom) threshold data + O(B*K)
+        gathers on the logits;
+      * the full residual/bonus distribution is needed only at the ONE
+        first-rejection position r per sequence — a [B, V] row gather.
+
+    Greedy rows (temperature <= 0) follow compute_probs' one-hot-argmax
+    semantics exactly: accept iff draft token == target argmax; the
+    final token is the argmax at row r.
+    """
+    from vllm_omni_draft_tpu.ops.sampling import (
+        keep_mask,
+        topk_topp_thresholds,
+    )
+
+    B, K = draft_tokens.shape
+    V = target_logits.shape[-1]
+    Vq = q_probs.shape[-1]
+    R = B * (K + 1)
+    u_key, resample_key = jax.random.split(key)
+
+    greedy = temps <= 0.0  # [B]
+    safe_t = jnp.where(greedy, 1.0, temps)
+    lg32 = target_logits.reshape(R, V).astype(jnp.float32)
+    scaled = lg32 / jnp.repeat(safe_t, K + 1)[:, None]  # fused upstream
+    lx = jax.lax.optimization_barrier(scaled.astype(jnp.bfloat16))
+    kth, tau, _ = topk_topp_thresholds(
+        lx, jnp.repeat(top_ks, K + 1), jnp.repeat(top_ps, K + 1)
+    )
+    # f32 row stats for the prob law (matching softmax over the kept set)
+    mx32 = jnp.max(scaled, axis=-1)  # [R]
+    keep = keep_mask(lx, kth, tau, mx32.astype(jnp.bfloat16))
+    denom = jnp.sum(
+        jnp.where(keep, jnp.exp(scaled - mx32[:, None]), 0.0),
+        axis=-1,
+    )  # [R] — fused reduction, no [R, V] f32 materialization
+    argmax = jnp.argmax(lg32, axis=-1).astype(jnp.int32)  # [R]
+
+    def resh(x):
+        return x.reshape(B, K + 1)
+
+    kth_b, tau_b = resh(kth), resh(tau)
+    mx_b, den_b, am_b = resh(mx32), resh(denom), resh(argmax)
+
+    # ---- accept probs at the draft ids (gathers only) ----
+    idx = draft_tokens[..., None]  # [B, K, 1]
+    sc_at = jnp.take_along_axis(
+        scaled.reshape(B, K + 1, V)[:, :K], idx, axis=-1
+    )[..., 0]  # [B, K] f32
+    lx_at = sc_at.astype(jnp.bfloat16)
+    e_at = jnp.where(
+        lx_at >= kth_b[:, :K],
+        jnp.exp(lx_at.astype(jnp.float32) - mx_b[:, :K]), 0.0
+    ).astype(jnp.bfloat16)
+    kept_at = (lx_at >= kth_b[:, :K]) & (e_at >= tau_b[:, :K])
+    p_at = jnp.where(
+        kept_at, jnp.exp(sc_at - mx_b[:, :K]) / den_b[:, :K], 0.0
+    )
+    # greedy rows: one-hot at argmax
+    p_at = jnp.where(
+        greedy[:, None],
+        (draft_tokens == am_b[:, :K]).astype(jnp.float32),
+        p_at,
+    )
+    q_at = jnp.take_along_axis(
+        q_probs, jnp.minimum(idx, Vq - 1), axis=-1
+    )[..., 0]
+    u = jax.random.uniform(u_key, (B, K), dtype=jnp.float32)
+    accept = u < jnp.minimum(p_at / jnp.maximum(q_at, 1e-30), 1.0)
+
+    acc_prefix = jnp.cumprod(accept.astype(jnp.int32), axis=-1)
+    num_accepted = jnp.sum(acc_prefix, axis=-1)  # [B]
+    all_accepted = num_accepted == K
+    r = jnp.minimum(num_accepted, K)
+
+    # ---- the ONE needed distribution row per sequence ----
+    take_r = lambda x: jnp.take_along_axis(x, r[:, None], axis=1)[:, 0]
+    sc_r = jnp.take_along_axis(
+        scaled.reshape(B, K + 1, V), r[:, None, None], axis=1
+    )[:, 0]  # [B, V] f32
+    lx_r = sc_r.astype(jnp.bfloat16)
+    kth_r, tau_r = take_r(kth_b), take_r(tau_b)
+    mx_r, den_r = take_r(mx_b), take_r(den_b)
+    keep_r = keep_mask(lx_r, kth_r, tau_r, mx_r.astype(jnp.bfloat16))
+    p_r = jnp.where(
+        keep_r, jnp.exp(sc_r - mx_r[:, None]) / den_r[:, None], 0.0
+    )  # [B, V]
+    q_r = jnp.take_along_axis(
+        q_probs, jnp.minimum(r, K - 1)[:, None, None], axis=1
+    )[:, 0]
+    if Vq != V:
+        q_r = jnp.pad(q_r, ((0, 0), (0, V - Vq)))
+    residual = jnp.maximum(p_r - q_r, 0.0)
+    res_sum = jnp.sum(residual, axis=-1, keepdims=True)
+    residual = jnp.where(res_sum > 1e-12, residual, p_r)
+    residual = residual / jnp.maximum(
+        jnp.sum(residual, axis=-1, keepdims=True), 1e-30
+    )
+    final_dist = jnp.where(all_accepted[:, None], p_r, residual)
+    final_token = sample_from_probs(final_dist, resample_key)
+    # greedy rows: deterministic argmax at row r
+    final_token = jnp.where(greedy, take_r(am_b), final_token)
+
+    pos = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+    drafts_padded = jnp.concatenate(
+        [draft_tokens, jnp.zeros((B, 1), jnp.int32)], axis=-1
+    )
+    out = jnp.where(pos < num_accepted[:, None], drafts_padded, PLACEHOLDER)
+    out = jnp.where(pos == num_accepted[:, None], final_token[:, None], out)
+    return out.astype(jnp.int32), (num_accepted + 1).astype(jnp.int32)
+
+
 # Pallas override hook (set on TPU by ops.pallas.rejection).
 _PALLAS_REJECTION = None
 

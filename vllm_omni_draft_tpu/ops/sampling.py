@@ -70,22 +70,24 @@ def apply_top_k_top_p(
     vocab depending on fusion shape, while the identical math is correct
     in isolation (see PERF_NOTES.md "bisection fusion miscompile").
     """
-    B, V = logits.shape
-    # barrier: materialize the bf16 image; the bisection loop must not
-    # fuse into the logits producer (miscompiles — see docstring)
     lx = jax.lax.optimization_barrier(logits.astype(jnp.bfloat16))
+    kth, tau, mx = topk_topp_thresholds(lx, top_k, top_p)
+    keep = keep_mask(lx, kth, tau, mx)
+    return jnp.where(keep, logits, NEG_INF)
+
+
+def topk_topp_thresholds(
+    lx: jax.Array,  # [B, V] bf16 (barriered image of scaled logits)
+    top_k: jax.Array,  # [B] int32, 0 => disabled
+    top_p: jax.Array,  # [B] f32, 1.0 => disabled
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-row (kth, tau, mx) defining the top-k/top-p kept set as
+        keep(v) = lx[v] >= kth  AND  bf16(exp(f32(lx[v]) - mx)) >= tau
+    (see keep_mask). Pallas VMEM kernel on TPU, XLA bisection fallback
+    elsewhere — identical math either way."""
+    B, V = lx.shape
     if _PALLAS_THRESHOLDS is not None and V >= 4096:
-        # kernel path: identical bisection math, VMEM-resident (one HBM
-        # pass); XLA replays only the final comparisons + select
-        kth_k, tau_k, mx_k = _PALLAS_THRESHOLDS(lx, top_k, top_p)
-        # f32-promoted comparisons — identical to both the kernel's math
-        # and the XLA bisection fallback below
-        keep_k = lx >= kth_k[:, None]
-        e = jnp.where(
-            keep_k, jnp.exp(lx.astype(jnp.float32) - mx_k[:, None]), 0.0
-        ).astype(jnp.bfloat16)
-        keep_p = e >= tau_k[:, None]
-        return jnp.where(keep_k & keep_p, logits, NEG_INF)
+        return _PALLAS_THRESHOLDS(lx, top_k, top_p)
     row_max = jnp.max(lx, axis=-1, keepdims=True).astype(jnp.float32)
     row_min = jnp.min(lx, axis=-1, keepdims=True).astype(jnp.float32)
 
@@ -118,8 +120,19 @@ def apply_top_k_top_p(
         return mass >= tp * denom
 
     tau_u = _bisect_threshold(e, mass_ok, jnp.zeros_like(emax), emax)
-    keep_p = e >= tau_u
-    return jnp.where(keep_k & keep_p, logits, NEG_INF)
+    return kth[:, 0], tau_u[:, 0], row_max[:, 0]
+
+
+def keep_mask(lx, kth, tau, mx):
+    """[.., V] bool kept set from per-row thresholds; `lx` bf16 and the
+    broadcastable per-row (kth, tau, mx). The e-image comparison runs in
+    bf16 exactly like the threshold search, so the mask matches the
+    search's counting semantics bit-for-bit."""
+    keep_k = lx >= kth[..., None]
+    e = jnp.where(
+        keep_k, jnp.exp(lx.astype(jnp.float32) - mx[..., None]), 0.0
+    ).astype(jnp.bfloat16)
+    return keep_k & (e >= tau[..., None])
 
 
 def compute_probs(
