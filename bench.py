@@ -93,6 +93,9 @@ def main():
             draft_model=draft,
             num_speculative_tokens=int(os.environ.get("VOT_BENCH_SPEC_K", "4")),
             draft_vocab_size=dv,
+            draft_sampling_filter=(
+                os.environ.get("VOT_BENCH_DRAFT_FILTER", "1") == "1"
+            ),
         )
 
     M = int(os.environ.get("VOT_BENCH_DECODE_STEPS", "8"))

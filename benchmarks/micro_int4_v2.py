@@ -70,7 +70,6 @@ def main():
         w = jax.random.normal(key, (O, I), jnp.float32) / np.sqrt(I)
         q4 = q.quantize_int4(w, group_size=128)
         q8 = q.quantize_int8(w)
-        paired = jax.block_until_ready(v2.repack_int4_paired(q4["w"]))
         del w
         floor = 2 * B * O * I / PEAK
         floors[name] = floor
@@ -79,11 +78,11 @@ def main():
             res["int4_base"] = timed(qm.matmul_int4_pallas, x, q4["w"], q4["s"])
             res["int8"] = timed(qm.matmul_int8_pallas, x, q8["w"], q8["s"])
         for g in gpds:
-            res[f"paired_g{g}"] = timed(
-                lambda xx, pw, ss, g=g: v2.matmul_int4_paired_pallas(
+            res[f"v2_g{g}"] = timed(
+                lambda xx, pw, ss, g=g: v2.matmul_int4_v2_pallas(
                     xx, pw, ss, gpd=g
                 ),
-                x, paired, q4["s"],
+                x, q4["w"], q4["s"],
             )
         parts = [f"{name:8s} floor {floor*1e6:7.1f}us"]
         adj = {}

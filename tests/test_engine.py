@@ -341,6 +341,31 @@ def test_spec_decode_sampled_runs(hf_checkpoint, tmp_path_factory):
     assert len(out.outputs[0].token_ids) == 10
 
 
+def test_spec_decode_unfiltered_draft_greedy_lossless(
+    hf_checkpoint, tmp_path_factory
+):
+    """draft_sampling_filter=False (skip per-iter draft threshold
+    searches): rejection sampling is lossless for ANY proposal q, so
+    greedy output must still equal target-only greedy token-for-token,
+    and the sampled path must still run."""
+    path, hf = hf_checkpoint
+    draft_path = _draft_checkpoint(tmp_path_factory, seed=7)
+    spec = SpeculativeConfig(
+        draft_model=ModelConfig.from_hf_config(draft_path, dtype="float32",
+                                               max_model_len=128),
+        num_speculative_tokens=2,
+        draft_sampling_filter=False,
+    )
+    llm = LLM(_config(path, speculative=spec))
+    prompt = [11, 22, 33, 44, 55]
+    out = llm.generate([prompt], [GREEDY(12)])[0]
+    assert out.outputs[0].token_ids == _hf_greedy(hf, prompt, 12)
+    sp = SamplingParams(max_tokens=10, temperature=0.7, top_p=0.95,
+                        top_k=32, ignore_eos=True)
+    out = llm.generate([[1, 2, 3]], [sp])[0]
+    assert len(out.outputs[0].token_ids) == 10
+
+
 def test_n_greater_than_one_sampling(hf_checkpoint):
     """n>1 fan-out: one prompt, n completions in one RequestOutput
     (parent/child aggregation; children share prompt KV via prefix cache)."""

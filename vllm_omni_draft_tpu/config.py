@@ -232,6 +232,12 @@ class SpeculativeConfig:
     # Rejection sampling stays exactly lossless for ANY proposal
     # distribution, so this only trades acceptance rate for draft speed.
     draft_vocab_size: int | None = None
+    # Apply the request's top-k/top-p filter to the DRAFT's proposal
+    # distribution (matches the target's filtered support — vLLM
+    # behavior). False skips the K per-iter draft threshold searches
+    # (plain temperature softmax q); output law stays exactly lossless
+    # for any q — only the acceptance rate can shift.
+    draft_sampling_filter: bool = True
 
     def __post_init__(self):
         if self.num_speculative_tokens < 1:

@@ -567,6 +567,24 @@ class ModelRunner:
             # q distributions stay on the (possibly pruned) draft vocab:
             # rejection_sample handles Vq < V natively (zero prob outside
             # the prefix), so no per-step [B, V] padding is materialized
+            spec_cfg = self.config.speculative
+
+            def draft_q(logits):
+                # lossless for ANY q: the unfiltered path trades the K
+                # per-iter threshold searches for plain temperature
+                # softmax (SpeculativeConfig.draft_sampling_filter)
+                if spec_cfg is not None and not spec_cfg.draft_sampling_filter:
+                    safe_t = jnp.where(temps <= 0.0, 1.0, temps)
+                    probs = jax.nn.softmax(
+                        logits.astype(jnp.float32) / safe_t[:, None], axis=-1
+                    )
+                    one_hot = jax.nn.one_hot(
+                        jnp.argmax(logits, axis=-1), logits.shape[-1],
+                        dtype=jnp.float32,
+                    )
+                    return jnp.where((temps <= 0.0)[:, None], one_hot, probs)
+                return compute_probs(logits, temps, top_ks, top_ps)
+
             if greedy:
                 d1 = self.draft_mod.compute_argmax(
                     dcfg, params_d, hidden0[:, 1]
@@ -576,7 +594,7 @@ class ModelRunner:
                 logits0 = self.draft_mod.compute_logits(
                     dcfg, params_d, hidden0[:, 1]
                 )
-                q0 = compute_probs(logits0, temps, top_ks, top_ps)
+                q0 = draft_q(logits0)
                 d1 = sample_from_probs(q0, jax.random.fold_in(key_i, 0))
 
             def draft_body(carry, i):
@@ -598,7 +616,7 @@ class ModelRunner:
                     )
                     return (kv_d, tok), (tok, jnp.zeros((B, 1), jnp.float32))
                 logits = self.draft_mod.compute_logits(dcfg, params_d, hidden[:, 0])
-                q = compute_probs(logits, temps, top_ks, top_ps)
+                q = draft_q(logits)
                 tok = sample_from_probs(q, jax.random.fold_in(key_i, i))
                 return (kv_d, tok), (tok, q)
 
