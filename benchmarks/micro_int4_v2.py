@@ -50,7 +50,9 @@ def main():
     shapes = [
         ("qkv_q", 3584, 3584),
         ("kv", 512, 3584),
+        ("qkv_fused", 4608, 3584),      # q+k+v in one call
         ("gate_up", 18944, 3584),
+        ("gateup_fused", 37888, 3584),  # gate+up in one call
         ("down", 3584, 18944),
         ("lm_head", 151936, 3584),
     ]
@@ -77,13 +79,18 @@ def main():
         if os.environ.get("SKIP_BASE") != "1":
             res["int4_base"] = timed(qm.matmul_int4_pallas, x, q4["w"], q4["s"])
             res["int8"] = timed(qm.matmul_int8_pallas, x, q8["w"], q8["s"])
+        blockos = [
+            int(v) for v in os.environ.get("BLOCKO", "512").split(",")
+        ]
         for g in gpds:
-            res[f"v2_g{g}"] = timed(
-                lambda xx, pw, ss, g=g: v2.matmul_int4_v2_pallas(
-                    xx, pw, ss, gpd=g
-                ),
-                x, q4["w"], q4["s"],
-            )
+            for bo in blockos:
+                tag = f"v2_g{g}" + (f"_bo{bo}" if len(blockos) > 1 else "")
+                res[tag] = timed(
+                    lambda xx, pw, ss, g=g, bo=bo: v2.matmul_int4_v2_pallas(
+                        xx, pw, ss, gpd=g, block_o=bo
+                    ),
+                    x, q4["w"], q4["s"],
+                )
         parts = [f"{name:8s} floor {floor*1e6:7.1f}us"]
         adj = {}
         for k, t in res.items():

@@ -236,16 +236,15 @@ def matmul_int4_stacked_pallas(
         return x @ w.T
     if BP != B:
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
-    st = jnp.take(s, layer, axis=0).T.astype(jnp.float32)  # [G, O]
-    xsum, Gp = _group_sums(x, group_size, G)
-    if Gp != G:
-        st = jnp.pad(st, ((0, Gp - G), (0, 0)))
+    st, Gp = _st16(jnp.take(s, layer, axis=0))  # [Gp, O] f32 = 16*s
     budget_rows = _budget_rows(
         BP, I, x.dtype.itemsize, row_bytes=I // 2,
-        extra_row_bytes=Gp * 4 + BP * x.dtype.itemsize,  # st + out tiles
+        # f32 unpack intermediates keep ~14 B/elem live per in-flight
+        # chunk (x2): charge them so Mosaic's scoped-vmem stays <16M
+        extra_row_bytes=Gp * 4 + BP * x.dtype.itemsize
+        + 28 * group_size,
     )
-    # budget_rows is the VMEM-derived cap; the block_o param only lowers it
-    block_o = _pick_block_o(O, min(budget_rows, block_o) if block_o < 512 else budget_rows)
+    block_o = _pick_block_o(O, min(budget_rows, block_o))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -256,8 +255,6 @@ def matmul_int4_stacked_pallas(
             pl.BlockSpec((1, block_o, I // 2), lambda i, l: (l[0], i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Gp, block_o), lambda i, l: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BP, Gp), lambda i, l: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BP, block_o), lambda i, l: (0, i),
@@ -273,87 +270,93 @@ def matmul_int4_stacked_pallas(
             + BP * O * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(jnp.reshape(layer, (1,)).astype(jnp.int32), x, packed, st, xsum)
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32), x, packed, st)
     return out[:B]
 
 
-def _int4_acc(x_ref, w_slice, st_ref, xsum_ref, shape, group_size: int):
+def _nib_lo_f32(p32: jax.Array) -> jax.Array:
+    """int32 bytes -> f32 = 1 + lo_nibble/16: mantissa bit placement +
+    SAME-width bitcast (Mosaic rejects width-changing bitcasts; there
+    are no int->float converts on this path)."""
+    return jax.lax.bitcast_convert_type(
+        ((p32 & 0x0F) << 19) | 0x3F800000, jnp.float32
+    )
+
+
+def _nib_hi_f32(p32: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(
+        ((p32 & 0xF0) << 15) | 0x3F800000, jnp.float32
+    )
+
+
+def _int4_acc(x_ref, w_slice, st_ref, shape, group_size: int):
     """x [BP, I]; w_slice [O_T, I//2] uint8 split-half (ref or loaded
-    value); st [Gp, O_T] f32 (scales transposed so one group's scales are
-    one lane-contiguous row; zero-padded to Gp rows); xsum [BP, Gp] f32
-    per-group row sums of x, PRECOMPUTED OUTSIDE the kernel.
+    value); st [Gp, O_T] f32 = 16 * scales (transposed so one group's
+    scales are one lane-contiguous row; zero-padded to Gp rows).
 
-    No reshapes (Mosaic rejects every group-scale reshape/broadcast at 7B
-    group counts — PERF_NOTES.md): each group is a STATIC slice, contracted
-    on the MXU separately, and scaled post-dot on the [BP, O_T] partial —
-    O(BP*O_T) VPU work per group instead of O(O_T*group_size).
-
-    The int4 zero-point (stored unsigned, value = u - 8) folds into ONE
-    extra MXU dot instead of per-group subtracts:
-        y[b,o] = sum_g s[o,g] * t_g[b,o] - 8 * (xsum @ st)[b,o]
-    where t_g is the unsigned-nibble partial. Passing xsum in (an
-    O(BP*I) reduction XLA fuses upstream for free) keeps every in-kernel
-    op on int/bf16 tiles — computing it here made Mosaic materialize an
-    f32 copy of x, which both cost VPU time and capped BP at 160 rows
-    of VMEM (PERF_NOTES.md)."""
+    Round-3 form (measured 71% -> 80% of the MXU roofline aggregate at
+    the 160-row verify shape, PERF_NOTES): nibbles become EXACT SIGNED
+    bf16 values via an f32 mantissa bit-pattern — bitcast of
+    ((p & 0xF) << 19) | 0x3F800000 gives 1 + u/16; subtracting 1.5 gives
+    (u - 8)/16 exactly — so the zero-point correction dot (and its xsum
+    operand) of the round-1/2 kernel disappears, and the unpack chain is
+    pure integer ops + one exact f32->bf16 cast. Each group is a STATIC
+    slice contracted on the MXU separately with post-dot f32 scaling
+    (Mosaic rejects group-scale reshapes at 7B group counts; folding
+    scales into the tile in bf16 measured 35% — per-element multiplies
+    swamp the win)."""
     half = w_slice.shape[1]
     C = half // group_size  # chunks of packed columns == groups per half
     dt = x_ref.dtype
 
     x_all = x_ref[...]
-    s_all = st_ref[...]  # [Gp, O_T]
+    s_all = st_ref[...]  # [Gp, O_T] f32 = 16*s
     acc = jnp.zeros(shape, jnp.float32)
     for c in range(C):
         sl = slice(c * group_size, (c + 1) * group_size)
         p = w_slice[:, sl].astype(jnp.int32)  # no i8 vector arithmetic
+        lo = _nib_lo_f32(p) - 1.5  # (u - 8)/16, exact
+        hi = _nib_hi_f32(p) - 1.5
         for vals, xs, g in (
-            ((p & 0xF), x_all[:, sl], c),
-            ((p >> 4), x_all[:, half + c * group_size:
-                             half + (c + 1) * group_size], C + c),
+            (lo, x_all[:, sl], c),
+            (hi, x_all[:, half + c * group_size:
+                       half + (c + 1) * group_size], C + c),
         ):
             t = jax.lax.dot_general(
                 xs, vals.astype(dt), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [BP, O_T]
             acc += t * s_all[g][None, :]
-    corr = jax.lax.dot_general(
-        xsum_ref[...], s_all, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [BP, O_T]; padded rows/cols of st/xsum are zero
-    return acc - 8.0 * corr
+    return acc
 
 
-def _int4_kernel_stacked(l_ref, x_ref, w_ref, st_ref, xsum_ref, o_ref, *,
+def _int4_kernel_stacked(l_ref, x_ref, w_ref, st_ref, o_ref, *,
                          group_size: int):
-    y = _int4_acc(x_ref, w_ref[0], st_ref, xsum_ref, o_ref.shape, group_size)
+    y = _int4_acc(x_ref, w_ref[0], st_ref, o_ref.shape, group_size)
     o_ref[...] = y.astype(o_ref.dtype)
 
 
-def _int4_kernel(x_ref, w_ref, st_ref, xsum_ref, o_ref, *, group_size: int):
-    y = _int4_acc(x_ref, w_ref, st_ref, xsum_ref, o_ref.shape, group_size)
+def _int4_kernel(x_ref, w_ref, st_ref, o_ref, *, group_size: int):
+    y = _int4_acc(x_ref, w_ref, st_ref, o_ref.shape, group_size)
     o_ref[...] = y.astype(o_ref.dtype)
 
 
-def _group_sums(x: jax.Array, group_size: int, G: int):
-    """Per-group row sums of x in COLUMN-BLOCK order (== the scale row
-    order of quantize_int4: low-half groups 0..G/2-1, high-half G/2..G-1),
-    zero-padded on the group axis to a lane multiple so the in-kernel
-    correction dot never touches uninitialized lanes."""
-    BP, I = x.shape
-    xs = jnp.sum(
-        x.astype(jnp.float32).reshape(BP, I // group_size, group_size), axis=-1
-    )
-    Gp = -(-G // 128) * 128
+def _st16(s: jax.Array):
+    """Transposed 16x scales [G, O] f32 (the kernel consumes 16*s since
+    the signed nibble values are (u-8)/16), zero-padded on the group
+    axis to a sublane multiple."""
+    st = (16.0 * s.T).astype(jnp.float32)
+    G = st.shape[0]
+    Gp = -(-G // 8) * 8
     if Gp != G:
-        xs = jnp.pad(xs, ((0, 0), (0, Gp - G)))
-    return xs, Gp
+        st = jnp.pad(st, ((0, Gp - G), (0, 0)))
+    return st, Gp
 
 
 # activations wider than this take the XLA fallback. 256 rows covers the
 # spec-verify batch (B*(K+1) = 32*5 = 160) and B=64..256 plain decode;
 # the x-aware VMEM budget (_budget_rows) shrinks the weight tile to
-# compensate. The old 160 cap came from Mosaic materializing an f32 copy
-# of x for in-kernel zero-point row sums — lifted by passing xsum in.
+# compensate.
 _INT4_MAX_BP = 256
 
 
@@ -388,11 +391,11 @@ def _argmax_update(y, i, block_o, valid_o, m_ref, a_ref):
     a_ref[...] = jnp.where(better, tile_arg, a_ref[...][:, :1])
 
 
-def _int4_argmax_kernel(x_ref, w_ref, st_ref, xsum_ref, m_ref, a_ref, *,
+def _int4_argmax_kernel(x_ref, w_ref, st_ref, m_ref, a_ref, *,
                         group_size: int, block_o: int, valid_o: int):
     i = pl.program_id(0)
     y = _int4_acc(
-        x_ref, w_ref, st_ref, xsum_ref,
+        x_ref, w_ref, st_ref,
         (x_ref.shape[0], w_ref.shape[0]), group_size,
     )
     _argmax_update(y, i, block_o, valid_o, m_ref, a_ref)
@@ -492,15 +495,12 @@ def argmax_matmul_int4_pallas(
         return jnp.argmax((x @ w.T)[:, :valid_o], axis=-1).astype(jnp.int32)
     if BP != B:
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
-    st = s.T.astype(jnp.float32)
-    xsum, Gp = _group_sums(x, group_size, G)
-    if Gp != G:
-        st = jnp.pad(st, ((0, Gp - G), (0, 0)))
+    st, Gp = _st16(s)
     budget_rows = _budget_rows(
         BP, I, x.dtype.itemsize, row_bytes=I // 2,
-        extra_row_bytes=Gp * 4,
+        extra_row_bytes=Gp * 4 + 28 * group_size,
     )
-    block_o = _pick_block_o(O, min(budget_rows, block_o) if block_o < 512 else budget_rows)
+    block_o = _pick_block_o(O, min(budget_rows, block_o))
 
     m, a = pl.pallas_call(
         functools.partial(
@@ -513,8 +513,6 @@ def argmax_matmul_int4_pallas(
             pl.BlockSpec((block_o, I // 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Gp, block_o), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BP, Gp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -530,7 +528,7 @@ def argmax_matmul_int4_pallas(
             bytes_accessed=O * I // 2 + BP * I * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(x, packed, st, xsum)
+    )(x, packed, st)
     return a[:B, 0]
 
 
@@ -606,17 +604,14 @@ def matmul_int4_pallas(
         return x @ w.T
     if BP != B:
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
-    st = s.T.astype(jnp.float32)  # [G, O]
-    xsum, Gp = _group_sums(x, group_size, G)
-    if Gp != G:
-        st = jnp.pad(st, ((0, Gp - G), (0, 0)))
-    # budget/row: packed I/2 bytes double-buffered, plus resident x
+    st, Gp = _st16(s)  # [Gp, O] f32 = 16*s
+    # budget/row: packed I/2 bytes double-buffered, plus resident x and
+    # the f32 unpack intermediates (~14 B/elem x2 in-flight chunks)
     budget_rows = _budget_rows(
         BP, I, x.dtype.itemsize, row_bytes=I // 2,
-        extra_row_bytes=Gp * 4 + BP * x.dtype.itemsize,  # st + out tiles
+        extra_row_bytes=Gp * 4 + BP * x.dtype.itemsize + 28 * group_size,
     )
-    # budget_rows is the VMEM-derived cap; the block_o param only lowers it
-    block_o = _pick_block_o(O, min(budget_rows, block_o) if block_o < 512 else budget_rows)
+    block_o = _pick_block_o(O, min(budget_rows, block_o))
 
     out = pl.pallas_call(
         functools.partial(_int4_kernel, group_size=group_size),
@@ -626,8 +621,6 @@ def matmul_int4_pallas(
             pl.BlockSpec((block_o, I // 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Gp, block_o), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BP, Gp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BP, block_o), lambda i: (0, i),
@@ -639,5 +632,5 @@ def matmul_int4_pallas(
             + BP * O * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(x, packed, st, xsum)
+    )(x, packed, st)
     return out[:B]

@@ -131,13 +131,15 @@ def matmul_int4_v2_pallas(
     Gp = -(-G // 8) * 8  # sublane-align the scale rows
     if Gp != G:
         st16 = jnp.pad(st16, ((0, Gp - G), (0, 0)))
+    # the f32 unpack intermediates (p int32 + lo/hi f32 + the cast) keep
+    # ~14 bytes/element live per in-flight chunk — charge ~2 chunks so
+    # Mosaic's scoped-vmem stack stays under its 16M limit
     budget_rows = _budget_rows(
         BP, I, x.dtype.itemsize, row_bytes=I // 2,
-        extra_row_bytes=Gp * 4 + BP * x.dtype.itemsize,
+        extra_row_bytes=Gp * 4 + BP * x.dtype.itemsize
+        + 14 * group_size * max(2, gpd),
     )
-    block_o = _pick_block_o(
-        O, min(budget_rows, block_o) if block_o < 512 else budget_rows
-    )
+    block_o = _pick_block_o(O, min(budget_rows, block_o))
 
     out = pl.pallas_call(
         functools.partial(
