@@ -156,7 +156,7 @@ def main():
                 num_scalar_prefetch=3,
                 grid=(4,),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec((B // 4, 160, D), lambda i, *_: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
@@ -192,7 +192,7 @@ def main():
                 num_scalar_prefetch=3,
                 grid=(4,),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec((B // 4, 160, D), lambda i, *_: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
@@ -208,6 +208,11 @@ def main():
             return pl.pallas_call(
                 k_nodma, grid_spec=gs,
                 out_shape=jax.ShapeDtypeStruct((B, 160, D), jnp.bfloat16),
+                **(
+                    dict(compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("parallel",)))
+                    if os.environ.get("PAR") == "1" else {}
+                ),
             )(bt, lens, jnp.reshape(l, (1,)), cache, x)
 
         return call
@@ -221,6 +226,11 @@ def main():
         ("dma_5d", c_dma(cache5f, "5d"), (q, bt, kv_lens)),
         ("dma_flat", c_dma(flat, "flat"), (q, bt, kv_lens)),
         ("nodma_big", c_nodma(flat), (q, bt, kv_lens)),
+        ("nodma_big_5d", c_nodma(cache5), (q, bt, kv_lens)),
+        ("nodma_big_4dflatview", c_nodma(cache5f), (q, bt, kv_lens)),
+        ("nodma_big_bf16",
+         c_nodma(jnp.zeros((L * NB, BS * H // 2, D), jnp.bfloat16)),
+         (q, bt, kv_lens)),
         ("dma_flat2L", c_dma(flat[: 2 * NB], "flat2"), (q, bt, kv_lens)),
     ]:
         per, comp = timed(fn, *args)

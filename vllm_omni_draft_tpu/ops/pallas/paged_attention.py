@@ -55,6 +55,10 @@ FLAT_KV_DEFAULT = _os.environ.get("VOT_ATTN_FLAT", "0") == "1"
 # The per-chunk compute is far cheaper than one chunk's DMA latency, so
 # depth 2 (classic double buffering) idles ~a full latency per chunk.
 NUM_SLOTS_DEFAULT = int(_os.environ.get("VOT_ATTN_SLOTS", "4"))
+# decode seqs per grid program override (0 = VMEM-budget auto). The
+# round-3 probe measured SPP=16/SLOTS=2 ~10% faster than the auto
+# (8/4) at the fp8 serving shape — per-grid-program prologue trade.
+SPP_DEFAULT = int(_os.environ.get("VOT_ATTN_SPP", "0")) or None
 
 # GQA folding: one block-diagonal scores/pv dot pair per (seq, chunk)
 # instead of 2*Hkv per-head dots (see _kernel_fold).
@@ -539,6 +543,8 @@ def paged_attention_pallas(
     if num_slots is None:
         num_slots = NUM_SLOTS_DEFAULT
     S = max(2, num_slots)
+    if seqs_per_program is None:
+        seqs_per_program = SPP_DEFAULT
     if seqs_per_program is None:
         # full per-sequence VMEM footprint, not just the KV scratch: the
         # f32 K/V casts and the GTP-scaled score/accumulator tensors live
