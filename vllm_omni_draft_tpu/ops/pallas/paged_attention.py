@@ -545,19 +545,24 @@ def paged_attention_pallas(
     S = max(2, num_slots)
     if seqs_per_program is None:
         seqs_per_program = SPP_DEFAULT
+    # full per-sequence VMEM footprint, not just the KV scratch: the
+    # f32 K/V casts and the GTP-scaled score/accumulator tensors live
+    # on the Mosaic stack too (measured stack OOM at T=16 x BS=128
+    # when only the scratch was budgeted)
+    score_cols = CHUNK_T * Hkv if gqa_fold else CHUNK_T
+    per_seq = (
+        S * 2 * CHUNK_T * Hkv * D * itemsize  # S-slot K+V scratch
+        + 2 * CHUNK_T * Hkv * D * 4           # in-register f32 K, V
+        + 2 * Hkv * GTP * score_cols * 4      # scores + exp probs f32
+        + 3 * Hkv * GTP * D * 4               # q, acc, out f32
+    )
+    budget_spp = max(1, _KV_SCRATCH_BUDGET // per_seq)
     if seqs_per_program is None:
-        # full per-sequence VMEM footprint, not just the KV scratch: the
-        # f32 K/V casts and the GTP-scaled score/accumulator tensors live
-        # on the Mosaic stack too (measured stack OOM at T=16 x BS=128
-        # when only the scratch was budgeted)
-        score_cols = CHUNK_T * Hkv if gqa_fold else CHUNK_T
-        per_seq = (
-            S * 2 * CHUNK_T * Hkv * D * itemsize  # S-slot K+V scratch
-            + 2 * CHUNK_T * Hkv * D * 4           # in-register f32 K, V
-            + 2 * Hkv * GTP * score_cols * 4      # scores + exp probs f32
-            + 3 * Hkv * GTP * D * 4               # q, acc, out f32
-        )
-        seqs_per_program = max(1, min(8, _KV_SCRATCH_BUDGET // per_seq))
+        seqs_per_program = min(8, budget_spp)
+    else:
+        # explicit/env override still clamps to the VMEM budget (an
+        # over-ask is a compile-time Mosaic stack OOM, not a slowdown)
+        seqs_per_program = min(seqs_per_program, budget_spp)
     BQ = seqs_per_program
     pad_b = (-B) % BQ
     if pad_b:
