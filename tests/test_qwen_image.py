@@ -198,3 +198,115 @@ def test_stage_engine_runs_qwen_image_arch(tmp_path):
     lat = np.asarray(out.latents)
     assert lat.shape == (1, CFG.out_channels, 8, 8)
     assert not np.any(np.isnan(lat))
+
+
+# ---------------------------------------------------------------------------
+# Qwen-Image VAE (AutoencoderKLQwenImage)
+# ---------------------------------------------------------------------------
+
+from vllm_omni_draft_tpu.models.qwen_image_vae import (  # noqa: E402
+    QwenImageVAE,
+    QwenImageVAEConfig,
+)
+
+VCFG = QwenImageVAEConfig(
+    base_dim=16, z_dim=4, dim_mult=(1, 2, 2), num_res_blocks=1,
+    temperal_downsample=(False, True),
+    latents_mean=tuple([0.05] * 4), latents_std=tuple([1.2] * 4),
+)
+
+
+def test_vae_encode_decode_shapes():
+    vae = QwenImageVAE(VCFG)
+    img = np.random.default_rng(0).standard_normal((1, 3, 32, 32))
+    lat = np.asarray(vae.encode(img))
+    assert lat.shape == (1, 4, 8, 8)  # 8x spatial stride (2 resamples + patching parity)
+    out = np.asarray(vae.decode(lat))
+    assert out.shape == (1, 3, 32, 32)
+    assert not np.any(np.isnan(out))
+
+
+def test_vae_diffusers_roundtrip(tmp_path):
+    from vllm_omni_draft_tpu.models import diffusers_io
+
+    vae = QwenImageVAE(VCFG)
+    path = str(tmp_path / "vae")
+    diffusers_io.save_qwen_image_vae(vae.params, VCFG, path)
+    raw = diffusers_io._read_component(path)
+    expect = {
+        "encoder.conv_in.weight",
+        "encoder.down_blocks.0.conv1.weight",
+        "encoder.mid_block.resnets.0.norm1.gamma",
+        "encoder.mid_block.attentions.0.to_qkv.weight",
+        "decoder.up_blocks.0.conv1.weight",
+        "decoder.conv_out.bias",
+        "quant_conv.weight",
+        "post_quant_conv.weight",
+    }
+    assert expect <= set(raw), expect - set(raw)
+    # resample convs serialize under the Sequential index (.1)
+    assert any(".resample.1.weight" in n for n in raw)
+
+    vae2 = QwenImageVAE.from_diffusers(path)
+    lat = np.random.default_rng(1).standard_normal((1, 4, 8, 8))
+    np.testing.assert_allclose(
+        np.asarray(vae.decode(lat)), np.asarray(vae2.decode(lat)),
+        atol=1e-6,
+    )
+
+
+def test_vae_load_rejects_name_drift(tmp_path):
+    import pytest as _pytest
+
+    from vllm_omni_draft_tpu.models import diffusers_io
+    from safetensors import safe_open
+    from safetensors.numpy import save_file
+
+    vae = QwenImageVAE(VCFG)
+    path = str(tmp_path / "vae")
+    diffusers_io.save_qwen_image_vae(vae.params, VCFG, path)
+    f = os.path.join(path, diffusers_io.WEIGHTS_NAME)
+    with safe_open(f, framework="np") as sf:
+        flat = {k: sf.get_tensor(k) for k in sf.keys()}
+    flat["encoder.bogus.weight"] = flat.pop("encoder.conv_in.weight")
+    save_file(flat, f)
+    with _pytest.raises(ValueError, match="mismatch"):
+        diffusers_io.load_qwen_image_vae(path)
+
+
+def test_stage_engine_full_qwen_image_checkpoint(tmp_path):
+    """transformer/ + vae/ in one checkpoint dir: the stage engine loads
+    BOTH faithful architectures and produces pixels."""
+    from vllm_omni_draft_tpu.models import diffusers_io
+    from vllm_omni_draft_tpu.models.dit import DiffusionStageEngine
+    from vllm_omni_draft_tpu.models.image_types import (
+        ImageGenInputs,
+        ImageOutputMode,
+    )
+    from vllm_omni_draft_tpu.models.qwen_image_vae import init_params as vinit
+
+    root = tmp_path / "ckpt"
+    # DiT with out_channels == VAE z_dim
+    dcfg = QwenImageDiTConfig(
+        num_layers=1, num_attention_heads=2, attention_head_dim=16,
+        joint_attention_dim=48, in_channels=16, out_channels=4,
+        patch_size=2, axes_dims_rope=(4, 6, 6), dtype="float32",
+    )
+    diffusers_io.save_qwen_image_checkpoint(
+        init_params(dcfg), dcfg, str(root / "transformer")
+    )
+    diffusers_io.save_qwen_image_vae(
+        vinit(VCFG), VCFG, str(root / "vae")
+    )
+    eng = DiffusionStageEngine(checkpoint_dir=str(root))
+    assert eng.arch == "qwen_image"
+    assert isinstance(eng.vae, QwenImageVAE)
+    np.random.seed(0)
+    inp = ImageGenInputs(
+        prompt_embeds=np.random.randn(1, 4, 48),
+        height=64, width=64, num_inference_steps=1,
+        output_mode=ImageOutputMode.PIXELS, seed=2,
+    )
+    out = eng.generate([inp])[0]
+    px = np.asarray(out.pixels)
+    assert px.shape[1] == 3 and not np.any(np.isnan(px))

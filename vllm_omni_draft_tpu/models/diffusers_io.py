@@ -474,3 +474,92 @@ def load_qwen_image_weights(path: str, cfg=None,
             + ("..." if len(missing) > 8 else "")
         )
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# Qwen-Image VAE (models/qwen_image_vae.py) — AutoencoderKLQwenImage.
+# The param tree's dict keys ARE the diffusers module path segments, so
+# serialization is a generic flatten/unflatten with "."-joined names
+# (encoder.down_blocks.0.conv1.weight, mid_block.attentions.0.to_qkv...).
+# ---------------------------------------------------------------------------
+
+
+def _flatten_tree(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        name = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten_tree(v, name))
+        else:
+            out[name] = _to_np(v)
+    return out
+
+
+def _unflatten_tree(flat: dict, dt):
+    tree: dict = {}
+    for name, arr in flat.items():
+        parts = name.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = _from_np(arr, dt)
+    return tree
+
+
+def save_qwen_image_vae(params: dict, cfg, path: str,
+                        max_shard_bytes: int | None = None) -> None:
+    _write_component(_flatten_tree(params), path)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(
+            {
+                "_class_name": "AutoencoderKLQwenImage",
+                "base_dim": cfg.base_dim,
+                "z_dim": cfg.z_dim,
+                "dim_mult": list(cfg.dim_mult),
+                "num_res_blocks": cfg.num_res_blocks,
+                "attn_scales": list(cfg.attn_scales),
+                "temperal_downsample": list(cfg.temperal_downsample),
+                "latents_mean": list(cfg.latents_mean)
+                if cfg.latents_mean else None,
+                "latents_std": list(cfg.latents_std)
+                if cfg.latents_std else None,
+            },
+            f, indent=1,
+        )
+    if max_shard_bytes is not None:
+        _reshard(path, max_shard_bytes)
+
+
+def load_qwen_image_vae(path: str, dtype=None) -> tuple[dict, object]:
+    from vllm_omni_draft_tpu.models.qwen_image_vae import QwenImageVAEConfig
+
+    with open(os.path.join(path, "config.json")) as f:
+        raw = json.load(f)
+    fields = {}
+    for k in ("base_dim", "z_dim", "num_res_blocks"):
+        if k in raw:
+            fields[k] = raw[k]
+    for k in ("dim_mult", "attn_scales", "temperal_downsample",
+              "latents_mean", "latents_std"):
+        if raw.get(k) is not None:
+            fields[k] = tuple(raw[k])
+    cfg = QwenImageVAEConfig(**fields)
+    dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        dtype or cfg.dtype
+    ]
+    flat = _read_component(path)
+    params = _unflatten_tree(flat, dt)
+    # structural check against a fresh init: any missing/extra names are
+    # a checkpoint-convention drift and must be loud
+    from vllm_omni_draft_tpu.models.qwen_image_vae import init_params
+
+    expect = set(_flatten_tree(init_params(cfg)))
+    got = set(flat)
+    if expect != got:
+        missing = sorted(expect - got)[:6]
+        extra = sorted(got - expect)[:6]
+        raise ValueError(
+            f"AutoencoderKLQwenImage checkpoint mismatch at {path}: "
+            f"missing={missing} extra={extra}"
+        )
+    return params, cfg

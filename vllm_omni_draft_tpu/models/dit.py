@@ -364,7 +364,16 @@ class DiffusionStageEngine:
                 )
             vdir = os.path.join(checkpoint_dir, "vae")
             if vae is None and os.path.isdir(vdir):
-                vae = vae_mod.VAE.from_diffusers(vdir)
+                with open(os.path.join(vdir, "config.json")) as f:
+                    vae_cls = _json.load(f).get("_class_name", "")
+                if vae_cls == "AutoencoderKLQwenImage":
+                    from vllm_omni_draft_tpu.models.qwen_image_vae import (
+                        QwenImageVAE,
+                    )
+
+                    vae = QwenImageVAE.from_diffusers(vdir)
+                else:
+                    vae = vae_mod.VAE.from_diffusers(vdir)
         elif self.arch == "qwen_image":
             from vllm_omni_draft_tpu.models import qwen_image_dit
 
