@@ -211,7 +211,9 @@ def main():
         from benchmarks.prof_util import print_top
 
         log("=== device-time breakdown of one engine step ===")
-        print_top(lambda: engine.step(), n=25, warmup=1)
+        print_top(lambda: engine.step(),
+                  n=int(os.environ.get("VOT_BENCH_PROFILE_N", "25")),
+                  warmup=1)
 
     if os.environ.get("VOT_BENCH_MODE") == "ttft":
         # p50 time-to-first-token under a cold B-request burst (BASELINE

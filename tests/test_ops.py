@@ -148,3 +148,66 @@ def test_mixed_greedy_and_sampled_batch():
         jax.random.PRNGKey(0),
     )
     assert int(tok[0]) == 1  # greedy row deterministic
+
+
+def test_attention_backend_resolution_and_dispatch():
+    """auto routes small models (spec drafts) to the fused XLA gather
+    path and big models to the Pallas kernel; explicit values win; the
+    backend argument actually controls the dispatch."""
+    import jax.numpy as jnp
+    import pytest
+
+    from vllm_omni_draft_tpu.config import ModelConfig
+    from vllm_omni_draft_tpu.ops import attention as att
+
+    draft = ModelConfig(
+        vocab_size=151_936, hidden_size=896, intermediate_size=4864,
+        num_layers=7, num_heads=14, num_kv_heads=2, head_dim=64,
+        max_model_len=1024, dtype="bfloat16",
+    )
+    target = ModelConfig(
+        vocab_size=151_936, hidden_size=3584, intermediate_size=18944,
+        num_layers=28, num_heads=28, num_kv_heads=4, head_dim=128,
+        max_model_len=1024, dtype="bfloat16",
+    )
+    # auto == pallas everywhere (draft-XLA routing was A/B'd on the
+    # chip and regressed 13.7%; see resolved_attention_backend)
+    assert att.resolved_attention_backend(draft) == "pallas"
+    assert att.resolved_attention_backend(target) == "pallas"
+    forced = ModelConfig(**{**draft.__dict__, "attention_backend": "xla"})
+    assert att.resolved_attention_backend(forced) == "xla"
+    with pytest.raises(ValueError, match="attention_backend"):
+        ModelConfig(**{**draft.__dict__, "attention_backend": "cuda"})
+
+    # dispatch: backend="xla" must BYPASS an installed kernel hook
+    calls = []
+    old = att._PALLAS_PAGED_ATTENTION
+    att.use_pallas_kernel(
+        lambda *a, **k: calls.append(1) or (_ for _ in ()).throw(
+            RuntimeError("kernel called")
+        )
+    )
+    try:
+        from vllm_omni_draft_tpu.ops.attention import AttentionMetadata
+
+        B, T, Hq, Hkv, D, BS, NB, L = 1, 1, 2, 1, 16, 8, 4, 1
+        q = jnp.ones((B, T, Hq, D), jnp.float32)
+        kc = jnp.zeros((L, NB, BS, Hkv, D), jnp.float32)
+        bt = jnp.zeros((B, 2), jnp.int32)
+        meta = AttentionMetadata(
+            block_tables=bt,
+            kv_lens=jnp.ones((B,), jnp.int32),
+            positions=jnp.zeros((B, T), jnp.int32),
+            slot_mapping=jnp.zeros((B, T), jnp.int32),
+        )
+        out = att.attention_at_layer(
+            q, kc, kc, jnp.int32(0), meta, 0.25, backend="xla"
+        )
+        assert out.shape == (B, T, Hq, D) and not calls
+        with pytest.raises(RuntimeError, match="kernel called"):
+            att.attention_at_layer(
+                q, kc, kc, jnp.int32(0), meta, 0.25, backend="pallas"
+            )
+        assert calls
+    finally:
+        att.use_pallas_kernel(old)

@@ -86,6 +86,12 @@ class ModelConfig:
     vision_config: dict[str, Any] | None = None
     # path to safetensors checkpoint dir (None => random init)
     checkpoint_dir: str | None = None
+    # "auto" | "pallas" | "xla": which paged-attention path this model's
+    # layers use. auto routes SMALL models (per-seq KV span <= 512 KiB —
+    # spec drafts) to the fused XLA gather path, whose zero launch
+    # overhead beats the kernel at tiny shapes (round-3 profile: the
+    # draft's ~28 kernel calls/iter at ~55 us each were mostly launch).
+    attention_backend: str = "auto"
     seed: int = 0
 
     def __post_init__(self):
@@ -97,6 +103,10 @@ class ModelConfig:
             raise ValueError(f"bad quantization {self.quantization!r}")
         if self.kv_cache_dtype not in ("bfloat16", "float32", "fp8", "int8"):
             raise ValueError(f"bad kv_cache_dtype {self.kv_cache_dtype!r}")
+        if self.attention_backend not in ("auto", "pallas", "xla"):
+            raise ValueError(
+                f"bad attention_backend {self.attention_backend!r}"
+            )
 
     @classmethod
     def tiny(cls, **overrides) -> "ModelConfig":

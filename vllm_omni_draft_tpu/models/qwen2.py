@@ -34,6 +34,7 @@ from vllm_omni_draft_tpu.ops.attention import (
     AttentionMetadata,
     attention_at_layer,
     kv_store_dim,
+    resolved_attention_backend,
     write_kv_layer,
 )
 from vllm_omni_draft_tpu.ops.layers import (
@@ -185,6 +186,7 @@ def make_forward(cfg: ModelConfig):
     kv_scale = cfg.kv_scale
     eps = cfg.rms_norm_eps
     theta = cfg.rope_theta
+    attn_backend = resolved_attention_backend(cfg)
 
     def forward(
         params: dict,
@@ -230,7 +232,8 @@ def make_forward(cfg: ModelConfig):
             kc, vc = write_kv_layer(kc, vc, k, v, meta.slot_mapping, l,
                                     kv_scale=kv_scale)
             o = attention_at_layer(q, kc, vc, l, meta, scale,
-                                   kv_scale=kv_scale)[..., :Dh]
+                                   kv_scale=kv_scale,
+                                   backend=attn_backend)[..., :Dh]
             x = x + linear_at_layer(o.reshape(B, T, Hq * Dh), lw["o"], l)
 
             h = rms_norm(x, jnp.take(lw["ln2"], l, axis=0), eps)

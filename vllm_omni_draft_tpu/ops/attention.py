@@ -221,6 +221,19 @@ def attention(
     return paged_attention(q, k_cache, v_cache, meta, scale, kv_scale)
 
 
+def resolved_attention_backend(cfg) -> str:
+    """Resolve ModelConfig.attention_backend. "auto" is the Pallas
+    kernel everywhere: routing the spec DRAFT through the XLA gather
+    path was A/B'd on the real chip (round 3) and REGRESSED the engine
+    13.7% (5860 vs 6787 tok/s) — the gather+masked-softmax over the
+    full block-table span costs far more than the kernel's ~55 us/call
+    launch overhead even at draft shapes. The explicit "xla" value
+    remains for debugging/parity runs."""
+    if cfg.attention_backend != "auto":
+        return cfg.attention_backend
+    return "pallas"
+
+
 def attention_at_layer(
     q: jax.Array,
     k_cache: jax.Array,  # [L, NB, BS, Hkv, D] full cache
@@ -229,11 +242,12 @@ def attention_at_layer(
     meta: AttentionMetadata,
     scale: float,
     kv_scale: float = 1.0,
+    backend: str = "pallas",
 ) -> jax.Array:
     """Attention against layer `layer` of the full cache (the layer-scan
     carry form). The Pallas kernel indexes the layer inside its DMAs; the
     XLA path slices the layer out first."""
-    if _PALLAS_PAGED_ATTENTION is not None:
+    if backend != "xla" and _PALLAS_PAGED_ATTENTION is not None:
         return _PALLAS_PAGED_ATTENTION(
             q, k_cache, v_cache, layer, meta, scale, kv_scale
         )
