@@ -115,8 +115,15 @@ def main():
             max_num_seqs=B,
             # the token budget must cover a FULL decode batch's worst case
             # (every slot advancing M*(K+1) tokens) or the scheduler
-            # silently halves the decode batch per step
-            max_num_batched_tokens=max(prompt_len, 256, B * M * (K + 1)),
+            # silently halves the decode batch per step. TTFT mode raises
+            # it further: admission (not step length) dominates cold-burst
+            # TTFT — at the default budget only ~10 prompts prefill per
+            # step (round-3 finding; the budget is host-side scheduling
+            # state, so this costs no recompilation)
+            max_num_batched_tokens=int(os.environ.get(
+                "VOT_BENCH_TOKEN_BUDGET",
+                str(max(prompt_len, 256, B * M * (K + 1))),
+            )),
             prefill_buckets=(prompt_len,),
             decode_steps=M,
             max_model_len=max_model_len,
