@@ -961,14 +961,23 @@ def paged_attention_dispatch(q, k_cache, v_cache, layer,
     T = q.shape[1]
     # the kernel's block DMAs require lane-aligned head_dim (Mosaic tiling);
     # small-head models (drafts) take the XLA path — they're cheap anyway
-    if T > MAX_KERNEL_QLEN and q.shape[0] == 1 and q.shape[-1] % 128 == 0:
-        # long single-sequence chunk (prefill): q-tiled flash kernel.
-        # num_real is derived in-trace from the position padding.
-        num_real = jnp.sum((meta.positions[0] >= 0).astype(jnp.int32))
-        return paged_prefill_pallas(
-            q, k_cache, v_cache, meta.block_tables, meta.kv_lens[0],
-            num_real, scale, kv_scale, layer=layer,
-        )
+    if T > MAX_KERNEL_QLEN and q.shape[-1] % 128 == 0:
+        # long chunks (prefill): q-tiled flash kernel, one instance per
+        # sequence (the batched multi-sequence prefill program loops the
+        # kernel; the layer scan reuses the body, so the program carries
+        # B kernel instances total, not B*L). num_real is derived
+        # in-trace from the position padding.
+        outs = []
+        for b in range(q.shape[0]):
+            num_real = jnp.sum((meta.positions[b] >= 0).astype(jnp.int32))
+            outs.append(
+                paged_prefill_pallas(
+                    q[b:b + 1], k_cache, v_cache,
+                    meta.block_tables[b:b + 1], meta.kv_lens[b],
+                    num_real, scale, kv_scale, layer=layer,
+                )
+            )
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     if T > MAX_KERNEL_QLEN or q.shape[-1] % 128 != 0:
         from vllm_omni_draft_tpu.ops.attention import (
             _attention_gathered,

@@ -142,8 +142,13 @@ def _stacked_call(kernel, x, w_stacked, extra_specs, extra_args, layer,
     if BP != B:
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
     row_bytes = w_stacked.shape[2] * itemsize
-    budget_rows = _budget_rows(BP, I, x.dtype.itemsize, row_bytes)
-    # budget_rows is the VMEM-derived cap; the block_o param only lowers it
+    # the revolving output tile is [BP, block_o] — at batched-prefill row
+    # counts it rivals the weight tile, so charge it per row (round-3:
+    # the dense draft kernel VMEM-OOMed at BP=1024 without this)
+    budget_rows = _budget_rows(
+        BP, I, x.dtype.itemsize, row_bytes,
+        extra_row_bytes=BP * x.dtype.itemsize,
+    )
     block_o = _pick_block_o(O, min(budget_rows, block_o) if block_o < 512 else budget_rows)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
