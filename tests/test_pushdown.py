@@ -172,3 +172,58 @@ def test_macro_state_reuse_bounded():
     for b in (b"(" * 30 + b"x" + b")" * 30):
         st = pda.walk_bytes(st, bytes([b]))
     assert pda.num_states == n1
+
+
+def test_sequential_nullable_recursive_calls_not_flagged():
+    """root := r r r r r with r nullable-and-recursive: many SEQUENTIAL
+    calls to the same rule in one epsilon closure are legal; only a true
+    no-byte-consumed re-entry cycle is left recursion (ADVICE r3: the
+    old depth counter capped at len(rules)+2 and false-fired here,
+    lazily — mid-generation)."""
+    pda = PDA({
+        "root": r"(?&r)(?&r)(?&r)(?&r)(?&r)",
+        "r": r"(\((?&r)\))?",
+    })
+
+    def accepts(s: bytes) -> bool:
+        # r matches balanced single-nest chains: '', '()', '(())', ...
+        def r(i):
+            outs = {i}
+            if i < len(s) and s[i] == ord("("):
+                for j in r(i + 1):
+                    if j < len(s) and s[j] == ord(")"):
+                        outs.add(j + 1)
+            return outs
+
+        def seq(i, n):
+            if n == 0:
+                return i == len(s) and False or (i == len(s))
+            return any(seq(j, n - 1) for j in r(i))
+
+        return seq(0, 5)
+
+    # horizon 10: '(((((' only completes at '((((()))))'
+    _check_against_oracle(pda, b"()", accepts, max_len=5, horizon=10)
+
+
+def test_true_left_recursion_still_raises():
+    with pytest.raises(ValueError, match="left-recursive"):
+        pda = PDA({"root": r"(?&root)a|b"})
+        # closures are lazy: force the start closure + a row
+        pda.walk_bytes(pda.start, b"b")
+
+
+def test_repeated_nullable_subcall_in_sibling_instantiation():
+    """a := b b, b := (?&c), c := x? — the second instantiation of b
+    legitimately re-takes b's internal call edge to c; edge chains must
+    restore on completion pops, not accumulate through them."""
+    pda = PDA({
+        "root": r"(?&b)(?&b)",
+        "b": r"(?&c)",
+        "c": r"x?",
+    })
+
+    def accepts(s: bytes) -> bool:
+        return s in (b"", b"x", b"xx")
+
+    _check_against_oracle(pda, b"x", accepts, max_len=4, horizon=4)

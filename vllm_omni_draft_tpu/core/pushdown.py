@@ -309,13 +309,25 @@ class PDA:
     def _closure(self, cfgs) -> tuple[tuple, bool]:
         """Epsilon closure: descend into calls, complete accepting rules.
         Returns (sorted config tuple, accepting_at_root)."""
-        max_chain = len(self.rules) + 2
+        # Divergence (left recursion / infinitely-nullable loop) is
+        # detected by CALL-EDGE cycles: if one epsilon-chain path takes
+        # the same (caller_rule, caller_state, callee) edge twice without
+        # consuming a byte, the closure re-enters an identical situation
+        # on an ever-growing stack and cannot terminate. Sequential calls
+        # to a nullable rule (root := r r r r) take edges from DIFFERENT
+        # caller states, so they never trip this (ADVICE r3: the old
+        # depth counter capped at len(rules)+2 and false-fired on those).
         seen: set[tuple[int, int, int]] = set()
         out: set[tuple[int, int, int]] = set()
+        # caller's edge chain at the moment each frame was pushed, so a
+        # completion pop RESTORES the caller's chain (edges must describe
+        # the live push path only — a second instantiation of a nullable
+        # rule legitimately re-takes its internal call edges).
+        push_edges: dict[int, frozenset] = {}
         accepting = False
-        work = [(c, 0) for c in cfgs]
+        work: list = [(c, frozenset()) for c in cfgs]
         while work:
-            (cfg, depth) = work.pop()
+            (cfg, edges) = work.pop()
             if cfg in seen:
                 continue
             seen.add(cfg)
@@ -324,21 +336,26 @@ class PDA:
             out.add(cfg)
             # calls: push a frame, descend
             for (callee, ret) in r.calls.get(st, ()):
-                if depth >= max_chain:
+                edge = (ri, st, callee)
+                if edge in edges:
                     raise ValueError(
                         "left-recursive grammar: a rule re-enters itself "
                         "without consuming input"
                     )
                 child = self._push(ri, ret, sk)
+                push_edges.setdefault(child, edges)
                 work.append(((callee, self.rules[callee].start, child),
-                             depth + 1))
-            # completion: pop to the caller
+                             edges | {edge}))
+            # completion: pop to the caller with the caller's own chain
+            # (nullable call loops terminate via `seen`: interned stack
+            # nodes make the pop reproduce the exact caller cfg).
             if r.accept[st]:
                 if sk == -1:
                     accepting = True
                 else:
                     (prule, pret, pparent) = self._stack_nodes[sk]
-                    work.append(((prule, pret, pparent), depth))
+                    work.append(((prule, pret, pparent),
+                                 push_edges.get(sk, frozenset())))
         return tuple(sorted(out)), accepting
 
     def _step(self, mid: int, byte: int) -> int:

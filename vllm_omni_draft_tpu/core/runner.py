@@ -831,6 +831,19 @@ class ModelRunner:
 
         return encode if self.config.enforce_eager else jax.jit(encode)
 
+    def _prefill_bucket(self, chunk_len: int) -> int:
+        """Smallest prefill bucket holding a chunk; a clear config error
+        (not an opaque StopIteration->RuntimeError inside a generator)
+        when the scheduler emits a chunk no bucket fits (ADVICE r3)."""
+        T = next((b for b in self.buckets if b >= chunk_len), None)
+        if T is None:
+            raise ValueError(
+                f"prefill chunk of {chunk_len} tokens exceeds every "
+                f"configured prefill bucket {list(self.buckets)}; raise "
+                "SchedulerConfig.prefill_buckets or lower the chunk size"
+            )
+        return T
+
     def encode(self, token_ids: list[int], pooling: str = "mean") -> np.ndarray:
         """Pooled embedding of a prompt ([D] f32). pooling: mean | last."""
         n = len(token_ids)
@@ -1040,7 +1053,7 @@ class ModelRunner:
 
         by_bucket: dict = _dd(list)
         for sp in plain:
-            T = next(b for b in self.buckets if b >= sp.chunk_len)
+            T = self._prefill_bucket(sp.chunk_len)
             by_bucket[T].append(sp)
         for T, sps in by_bucket.items():
             # group cap: the stacked matmul kernels keep x VMEM-resident
@@ -1124,7 +1137,7 @@ class ModelRunner:
             rng_i += 1
             req = sp.request
             tok_slice = req.all_token_ids[sp.chunk_start : sp.chunk_start + sp.chunk_len]
-            T = next(b for b in self.buckets if b >= sp.chunk_len)
+            T = self._prefill_bucket(sp.chunk_len)
             tokens = np.zeros((1, T), np.int32)
             tokens[0, : sp.chunk_len] = tok_slice
             bt = jnp.asarray(self.block_tables[req.slot : req.slot + 1])

@@ -440,6 +440,12 @@ class DiffusionStageEngine:
             # layout QwenImageTransformer2DModel consumes), denoise in
             # token space, unpack
             P = self.cfg.patch_size
+            if h % P or w % P:
+                raise ValueError(
+                    f"height/width must be multiples of {8 * P} "
+                    f"(VAE stride 8 x patch_size {P}); got "
+                    f"{inp.height}x{inp.width} -> latent grid {h}x{w}"
+                )
             hp, wp = h // P, w // P
             x = latents.reshape(1, C, hp, P, wp, P)
             tokens = x.transpose(0, 2, 4, 1, 3, 5).reshape(1, hp * wp, C * P * P)

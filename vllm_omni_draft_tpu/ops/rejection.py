@@ -189,9 +189,14 @@ def rejection_sample_sparse(
         scaled.reshape(B, K + 1, V)[:, :K], idx, axis=-1
     )[..., 0]  # [B, K] f32
     lx_at = sc_at.astype(jnp.bfloat16)
+    # e-image MUST subtract the bf16-rounded max exactly like keep_mask
+    # does (mx32.astype(bf16) promoted back to f32), or a token whose
+    # bf16 e sits exactly at tau classifies differently from the dense
+    # path when the row max is not bf16-representable (ADVICE r3).
+    mxb16_at = mx_b[:, :K].astype(jnp.bfloat16).astype(jnp.float32)
     e_at = jnp.where(
         lx_at >= kth_b[:, :K],
-        jnp.exp(lx_at.astype(jnp.float32) - mx_b[:, :K]), 0.0
+        jnp.exp(lx_at.astype(jnp.float32) - mxb16_at), 0.0
     ).astype(jnp.bfloat16)
     kept_at = (lx_at >= kth_b[:, :K]) & (e_at >= tau_b[:, :K])
     p_at = jnp.where(
