@@ -222,6 +222,56 @@ def main():
                   n=int(os.environ.get("VOT_BENCH_PROFILE_N", "25")),
                   warmup=1)
 
+    if os.environ.get("VOT_BENCH_MODE") == "prefill":
+        # pure prefill throughput: B one-token requests; wall time from
+        # burst-add to all-finished is prefill + one sampling step per
+        # request. 3 independent windows (same discipline as decode).
+        sp1 = SamplingParams(max_tokens=1, temperature=0.0, ignore_eos=True)
+        rates = []
+        for w in range(3):
+            for r in list(engine.scheduler.requests.values()):
+                engine.abort_requests([r.request_id])
+            while engine.has_unfinished() or engine.batch_queue:
+                engine.step()
+            engine.scheduler.purge_finished()
+            prompts = [
+                rng.integers(1, tok_hi, size=prompt_len).tolist()
+                for _ in range(B)
+            ]
+            if w == 0:  # compile any new prefill-group shapes off-clock
+                for i, p in enumerate(prompts):
+                    engine.add_request(Request(
+                        request_id=f"pwarm-{i}", prompt_token_ids=p,
+                        sampling_params=sp1,
+                    ))
+                while engine.has_unfinished():
+                    engine.step()
+                engine.scheduler.purge_finished()
+            t0 = time.perf_counter()
+            for i, p in enumerate(prompts):
+                engine.add_request(Request(
+                    request_id=f"pre-{w}-{i}", prompt_token_ids=p,
+                    sampling_params=sp1,
+                ))
+            while engine.has_unfinished():
+                engine.step()
+            dt = time.perf_counter() - t0
+            engine.scheduler.purge_finished()
+            rates.append(B * prompt_len / dt)
+            log(f"prefill window {w}: {B}x{prompt_len} tokens in "
+                f"{dt*1000:.0f}ms = {rates[-1]:.0f} tok/s")
+        mean = sum(rates) / len(rates)
+        sigma = (sum((r - mean) ** 2 for r in rates) / len(rates)) ** 0.5
+        print(json.dumps({
+            "metric": f"prefill_tokens_per_sec_qwen7b_{quant or 'bf16'}",
+            "value": round(mean, 1),
+            "unit": "tokens/s/chip",
+            "vs_baseline": round(mean / 2300.0, 3),
+            "sigma": round(sigma, 1),
+            "windows": [round(r, 1) for r in rates],
+        }))
+        return
+
     if os.environ.get("VOT_BENCH_MODE") == "ttft":
         # p50 time-to-first-token under a cold B-request burst (BASELINE
         # metric). The engine is warm (compiled) from the phase above; a

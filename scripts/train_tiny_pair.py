@@ -104,7 +104,15 @@ def main():
     ap.add_argument("--hard", action="store_true",
                     help="mixed-structure corpus with irreducible entropy "
                          "+ larger pair + K in {2,4,8} (round-3 evidence)")
+    ap.add_argument("--wide", action="store_true",
+                    help="1024d/4L target + 256d/2L draft on the hard "
+                         "corpus (round-4: int4 Dppl gate evidence at a "
+                         "width where group-128 quantization is "
+                         "non-trivial; VERDICT r3 item 8). Implies --hard "
+                         "corpus; budget ~hours on a 2-core CPU")
     args = ap.parse_args()
+    if args.wide:
+        args.hard = True
 
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     import jax
@@ -198,7 +206,20 @@ def main():
             cnt += 1
         return float(np.exp(tot / cnt))
 
-    if args.hard:
+    if args.wide:
+        # wide enough that group-128 int4 covers full rows (8 groups
+        # per 1024-d input) and the Dppl gate carries information
+        tcfg = ModelConfig.tiny(
+            vocab_size=258, hidden_size=1024, intermediate_size=4096,
+            num_layers=4, num_heads=8, num_kv_heads=2, head_dim=128,
+            max_model_len=256, dtype="float32",
+        )
+        dcfg = ModelConfig.tiny(
+            vocab_size=258, hidden_size=256, intermediate_size=1024,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+            max_model_len=256, dtype="float32",
+        )
+    elif args.hard:
         # int4 group quantization needs hidden/intermediate % 128 == 0
         tcfg = ModelConfig.tiny(
             vocab_size=258, hidden_size=256, intermediate_size=1024,
@@ -237,7 +258,12 @@ def main():
 
     # ---- save as HF checkpoints (target multi-shard) and reload ----
     tdir, ddir = os.path.join(args.out, "target"), os.path.join(args.out, "draft")
-    save_hf_checkpoint(tparams, tcfg, tdir, max_shard_bytes=400_000)
+    save_hf_checkpoint(
+        tparams, tcfg, tdir,
+        # still multi-shard, but don't spray a 280 MB wide target into
+        # hundreds of 400 kB files
+        max_shard_bytes=100_000_000 if args.wide else 400_000,
+    )
     save_hf_checkpoint(dparams, dcfg, ddir)
     n_shards = len([f for f in os.listdir(tdir) if f.endswith(".safetensors")])
     print(f"target saved as {n_shards} shards", file=sys.stderr)

@@ -287,3 +287,56 @@ def test_stage_engine_from_checkpoint_dir(tmp_path):
     )])[0]
     assert out.latents.shape == (1, 4, 4, 4)
     assert out.pixels.shape == (1, 3, 32, 32)
+
+
+def test_batched_generate_matches_sequential():
+    """Round-4: generate() groups same-shape requests into ONE batched
+    denoise + batched VAE decode; outputs must match one-at-a-time
+    execution to float tolerance (per-sample seed + guidance as batch
+    rows; text padded to the group max under the mask; XLA may tile
+    batched reductions differently, so bit-identity is not guaranteed
+    on CPU)."""
+    eng = DiffusionStageEngine(dit_config=TINY_DIT)
+    eng.vae = VAE(VAEConfig(latent_channels=4, base_channels=16))
+    rng = np.random.default_rng(3)
+    inps = [
+        ImageGenInputs(
+            prompt_embeds=rng.normal(size=(1, t, 32)).astype(np.float32),
+            height=64, width=64, num_inference_steps=2,
+            guidance_scale=g, seed=s,
+            output_mode=ImageOutputMode.PIXELS_AND_LATENTS,
+        )
+        for (t, g, s) in [(4, 2.0, 7), (6, 1.0, 1), (4, 3.5, 2)]
+    ]
+    batched = eng.generate(inps)
+    sequential = [eng.generate([i])[0] for i in inps]
+    for b, s in zip(batched, sequential):
+        np.testing.assert_allclose(
+            np.asarray(b.latents), np.asarray(s.latents), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(b.pixels), np.asarray(s.pixels), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_batched_generate_mixed_shapes_groups_correctly():
+    """Different sizes/steps split into separate groups; output order
+    matches input order."""
+    eng = DiffusionStageEngine(dit_config=TINY_DIT)
+    rng = np.random.default_rng(5)
+    mk = lambda h, st, seed: ImageGenInputs(
+        prompt_embeds=rng.normal(size=(1, 4, 32)).astype(np.float32),
+        height=h, width=64, num_inference_steps=st, seed=seed,
+        output_mode=ImageOutputMode.LATENTS,
+    )
+    inps = [mk(64, 2, 0), mk(32, 2, 1), mk(64, 2, 2), mk(64, 3, 3)]
+    outs = eng.generate(inps)
+    assert outs[0].latents.shape == (1, 4, 8, 8)
+    assert outs[1].latents.shape == (1, 4, 4, 8)
+    assert outs[2].latents.shape == (1, 4, 8, 8)
+    assert outs[3].latents.shape == (1, 4, 8, 8)
+    seq = [eng.generate([i])[0] for i in inps]
+    for b, s in zip(outs, seq):
+        np.testing.assert_allclose(
+            np.asarray(b.latents), np.asarray(s.latents), rtol=1e-4, atol=1e-5
+        )

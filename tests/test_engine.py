@@ -569,3 +569,19 @@ def test_streak_stop_token_truncates(hf_checkpoint):
     out = llm.generate([[5, 17, 42, 9, 33]], [sp])[0]
     toks = out.outputs[0].token_ids
     assert toks == ref[: ref.index(stop) + 1]
+
+
+def test_batched_prefill_group_matches_hf(hf_checkpoint):
+    """A cold burst admitted in ONE step groups N=8 prompt chunks into a
+    single batched-prefill program (runner cap 2048//T rows, round-4
+    row-tiled kernels); tokens must match HF greedy exactly, same as the
+    one-at-a-time path."""
+    path, hf = hf_checkpoint
+    llm = LLM(_config(path, max_num_seqs=8, max_num_batched_tokens=512))
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, 100, size=n).tolist()
+               for n in (9, 14, 16, 5, 12, 16, 7, 11)]
+    outs = llm.generate(prompts, [GREEDY(6)] * 8)
+    for p, o in zip(prompts, outs):
+        assert o.finished
+        assert o.outputs[0].token_ids == _hf_greedy(hf, p, 6), p

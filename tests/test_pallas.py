@@ -399,3 +399,49 @@ def test_thresholds_kernel_mixed_rows(monkeypatch):
     finally:
         sampling.use_pallas_thresholds(None)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("shape", [
+    # (B, I, O): odd B exercises row padding; I chosen so the int4
+    # guards pass (even G, group 128): I=256 -> G=2, I=512 -> G=4
+    (600, 256, 384),
+    (513, 512, 256),
+])
+def test_rowtiled_stacked_kernels_interpret(shape, monkeypatch):
+    """Batched-prefill rows (BP > 256): the 2-D row-tiled grid must
+    match the XLA dequant reference for int4/int8/dense stacked weights,
+    including the padded tail rows (VERDICT r3 item 1)."""
+    from vllm_omni_draft_tpu.ops.pallas import quant_matmul as qm
+    import jax.experimental.pallas as pl
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **kw: orig_call(*a, **{**kw, "interpret": True}),
+    )
+    B, I, O = shape
+    L = 3
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, I), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (L, O, I), jnp.float32)
+    layer = jnp.int32(1)
+
+    q8w = jnp.stack([q.quantize_int8(w[l])["w"] for l in range(L)])
+    q8s = jnp.stack([q.quantize_int8(w[l])["s"] for l in range(L)])
+    got8 = qm.matmul_int8_stacked_pallas(x, q8w, q8s, layer)
+    ref8 = x @ q.dequantize({"w": q8w[1], "s": q8s[1]}, jnp.float32).T
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(ref8),
+                               rtol=2e-3, atol=2e-3)
+
+    q4w = jnp.stack([q.quantize_int4(w[l], group_size=128)["w"]
+                     for l in range(L)])
+    q4s = jnp.stack([q.quantize_int4(w[l], group_size=128)["s"]
+                     for l in range(L)])
+    got4 = qm.matmul_int4_stacked_pallas(x, q4w, q4s, layer)
+    ref4 = x @ q.dequantize({"w": q4w[1], "s": q4s[1]}, jnp.float32).T
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(ref4),
+                               rtol=2e-3, atol=2e-3)
+
+    gotd = qm.matmul_dense_stacked_pallas(x, w, layer)
+    refd = x @ w[1].T
+    np.testing.assert_allclose(np.asarray(gotd), np.asarray(refd),
+                               rtol=2e-3, atol=2e-3)

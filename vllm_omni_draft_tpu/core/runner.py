@@ -1056,12 +1056,13 @@ class ModelRunner:
             T = self._prefill_bucket(sp.chunk_len)
             by_bucket[T].append(sp)
         for T, sps in by_bucket.items():
-            # group cap: the stacked matmul kernels keep x VMEM-resident
-            # and cap at 256 rows (_INT4_MAX_BP) — N*T beyond that drops
-            # to the slow XLA dequant fallback (and the dense draft
-            # kernel VMEM-OOMs). 2-D row-tiled kernels are the unlock
-            # for N=8 at bucket 128 (next round).
-            cap = max(1, min(8, 256 // T))
+            # group cap: N*T rows per program. Up to 256 rows the stacked
+            # matmul kernels keep x VMEM-resident (1-D grid); beyond that
+            # the 2-D row-tiled kernels stream x row tiles, so N=8 at
+            # bucket 128-256 runs in one program (weights stream once for
+            # the whole group — the round-4 TTFT lever). 2048 keeps the
+            # largest program ~16 row tiles.
+            cap = max(1, min(8, 2048 // T))
             pos = 0
             while pos < len(sps):
                 rem = len(sps) - pos

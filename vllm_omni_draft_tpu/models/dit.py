@@ -315,14 +315,16 @@ def make_denoiser(cfg: DiTConfig, num_steps: int):
         sigmas = jnp.linspace(1.0, 0.0, num_steps + 1)
 
         null_embeds = jnp.zeros_like(text_embeds)
+        # guidance: scalar or [B] (batched requests carry per-sample CFG)
+        gvec = jnp.asarray(guidance, jnp.float32) * jnp.ones((B,))
+        gb = gvec.reshape((B, 1, 1, 1))
 
         def step(lat, i):
             t = sigmas[i] * 1000.0
             tvec = jnp.full((B,), t, jnp.float32)
-            gvec = jnp.asarray(guidance, jnp.float32) * jnp.ones((B,))
             v_cond = fwd(params, lat, text_embeds, text_mask, tvec, gvec)
             v_unc = fwd(params, lat, null_embeds, text_mask, tvec, gvec)
-            v = v_unc + guidance * (v_cond - v_unc)
+            v = v_unc + gb * (v_cond - v_unc)
             lat = lat - (sigmas[i] - sigmas[i + 1]) * v
             return lat, None
 
@@ -400,43 +402,83 @@ class DiffusionStageEngine:
         return self._denoisers[steps]
 
     def generate(self, inputs_list, sampling_params=None) -> list[ImageGenOutputs]:
-        outs = []
+        """Batched request execution (round-4: the reference benchmarks
+        bs2/bs4 and its dual-engine design batches VAE decode via a
+        ParallelDecodeManager, `engine_core.md:879-1008`; the natural TPU
+        form is ONE [B]-batched denoise scan + one batched VAE decode).
+        Requests sharing static shapes (size, steps, task form) group
+        into one program; per-sample seed/guidance ride as batch rows, so
+        batched outputs are bit-identical to sequential execution."""
+        inps = []
         for item in inputs_list:
             inp = item if isinstance(item, ImageGenInputs) else ImageGenInputs(
                 **item if isinstance(item, dict) else {}
             )
             validate_image_inputs(inp)
-            outs.append(self._generate_one(inp))
+            inps.append(inp)
+        outs: list = [None] * len(inps)
+        groups: dict[tuple, list[int]] = {}
+        for i, inp in enumerate(inps):
+            key = (inp.height, inp.width, inp.num_inference_steps,
+                   inp.task, inp.image_latents is None)
+            groups.setdefault(key, []).append(i)
+        for idxs in groups.values():
+            for i, o in zip(idxs, self._generate_batch([inps[i] for i in idxs])):
+                outs[i] = o
         return outs
 
-    def _generate_one(self, inp: ImageGenInputs) -> ImageGenOutputs:
+    def _generate_batch(self, inps: list[ImageGenInputs]) -> list[ImageGenOutputs]:
         qwen = self.arch == "qwen_image"
         C = (
             self.cfg.out_channels if qwen else self.cfg.latent_channels
         )
-        h, w = inp.height // 8, inp.width // 8
-        key = jax.random.PRNGKey(inp.seed if inp.seed is not None else 0)
-        if inp.task == ImageTask.TEXT_TO_IMAGE or inp.image_latents is None:
-            latents = jax.random.normal(key, (1, C, h, w), jnp.float32)
-        else:
-            il = jnp.asarray(np.asarray(inp.image_latents), jnp.float32)
-            noise = jax.random.normal(key, il.shape, jnp.float32)
-            latents = 0.5 * il + 0.5 * noise  # I2I: partial renoise
+        B = len(inps)
+        h, w = inps[0].height // 8, inps[0].width // 8
+
+        lat_rows = []
+        for inp in inps:
+            key = jax.random.PRNGKey(inp.seed if inp.seed is not None else 0)
+            if inp.task == ImageTask.TEXT_TO_IMAGE or inp.image_latents is None:
+                lat_rows.append(jax.random.normal(key, (1, C, h, w), jnp.float32))
+            else:
+                il = jnp.asarray(np.asarray(inp.image_latents), jnp.float32)
+                noise = jax.random.normal(key, il.shape, jnp.float32)
+                lat_rows.append(0.5 * il + 0.5 * noise)  # I2I: partial renoise
+        latents = jnp.concatenate(lat_rows, axis=0)  # [B, C, h, w]
+
         text_dim = (
             self.cfg.joint_attention_dim if qwen else self.cfg.text_dim
         )
-        if inp.prompt_embeds is not None:
-            te = jnp.asarray(np.asarray(inp.prompt_embeds), jnp.float32)
-            tm = (
-                jnp.asarray(np.asarray(inp.prompt_embeds_mask))
-                if inp.prompt_embeds_mask is not None
-                else jnp.ones(te.shape[:2], jnp.int32)
-            )
-        else:
-            te = jnp.zeros((1, 8, text_dim), jnp.float32)
-            tm = jnp.ones((1, 8), jnp.int32)
+        te_rows, tm_rows = [], []
+        for inp in inps:
+            if inp.prompt_embeds is not None:
+                te_i = jnp.asarray(np.asarray(inp.prompt_embeds), jnp.float32)
+                tm_i = (
+                    jnp.asarray(np.asarray(inp.prompt_embeds_mask))
+                    if inp.prompt_embeds_mask is not None
+                    else jnp.ones(te_i.shape[:2], jnp.int32)
+                )
+            else:
+                te_i = jnp.zeros((1, 8, text_dim), jnp.float32)
+                tm_i = jnp.ones((1, 8), jnp.int32)
+            te_rows.append(te_i)
+            tm_rows.append(tm_i)
+        # right-pad text to the group max; padded tokens are mask=0 and
+        # exactly inert under the masked (-1e30 f32) softmax
+        t_max = max(t.shape[1] for t in te_rows)
+        te = jnp.concatenate(
+            [jnp.pad(t, ((0, 0), (0, t_max - t.shape[1]), (0, 0)))
+             for t in te_rows], axis=0)
+        tm = jnp.concatenate(
+            [jnp.pad(m.astype(jnp.int32), ((0, 0), (0, t_max - m.shape[1])))
+             for m in tm_rows], axis=0)
+        guidance = jnp.asarray(
+            [inp.guidance_scale for inp in inps], jnp.float32
+        )
+        steps = inps[0].num_inference_steps
+
         if qwen:
-            # pack 2x2 latent patches into tokens [1, N, C*P^2] (the
+            # pack 2x2 latent patches into tokens [B, N, C*P^2] (the
             # layout QwenImageTransformer2DModel consumes), denoise in
             # token space, unpack
             P = self.cfg.patch_size
@@ -444,33 +486,43 @@ class DiffusionStageEngine:
                 raise ValueError(
                     f"height/width must be multiples of {8 * P} "
                     f"(VAE stride 8 x patch_size {P}); got "
-                    f"{inp.height}x{inp.width} -> latent grid {h}x{w}"
+                    f"{inps[0].height}x{inps[0].width} -> latent grid {h}x{w}"
                 )
             hp, wp = h // P, w // P
-            x = latents.reshape(1, C, hp, P, wp, P)
-            tokens = x.transpose(0, 2, 4, 1, 3, 5).reshape(1, hp * wp, C * P * P)
-            denoise = self._get_denoiser(
-                inp.num_inference_steps, (1, hp, wp)
-            )
-            tokens = denoise(self.params, tokens, te, tm, inp.guidance_scale)
-            x = tokens.reshape(1, hp, wp, C, P, P)
-            latents = x.transpose(0, 3, 1, 4, 2, 5).reshape(1, C, hp * P, wp * P)
+            x = latents.reshape(B, C, hp, P, wp, P)
+            tokens = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, hp * wp, C * P * P)
+            denoise = self._get_denoiser(steps, (1, hp, wp))
+            tokens = denoise(self.params, tokens, te, tm, guidance)
+            x = tokens.reshape(B, hp, wp, C, P, P)
+            latents = x.transpose(0, 3, 1, 4, 2, 5).reshape(B, C, hp * P, wp * P)
         else:
-            denoise = self._get_denoiser(inp.num_inference_steps)
+            denoise = self._get_denoiser(steps)
             latents = denoise(
-                self.params, latents, te, tm, inp.guidance_scale, key
+                self.params, latents, te, tm, guidance,
+                jax.random.PRNGKey(0),
             )
 
+        want_px = [
+            inp.output_mode in (ImageOutputMode.PIXELS,
+                                ImageOutputMode.PIXELS_AND_LATENTS)
+            for inp in inps
+        ]
         pixels = None
-        if inp.output_mode in (ImageOutputMode.PIXELS,
-                               ImageOutputMode.PIXELS_AND_LATENTS):
-            if self.vae is not None:
-                pixels = self.vae.decode(latents)
-            else:
+        if any(want_px):
+            if self.vae is None:
                 from vllm_omni_draft_tpu.models import vae as vae_mod
 
                 self.vae = vae_mod.VAE(vae_mod.VAEConfig(latent_channels=C))
-                pixels = self.vae.decode(latents)
+            pixels = self.vae.decode(latents)  # batched VAE decode
+
+        outs = []
+        for i, inp in enumerate(inps):
+            outs.append(self._package_one(inp, latents[i:i + 1],
+                                          pixels[i:i + 1] if pixels is not None
+                                          and want_px[i] else None))
+        return outs
+
+    def _package_one(self, inp, latents, pixels) -> ImageGenOutputs:
         return ImageGenOutputs(
             latents=latents
             if inp.output_mode != ImageOutputMode.PIXELS

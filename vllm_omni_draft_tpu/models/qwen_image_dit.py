@@ -320,14 +320,16 @@ def make_denoiser(cfg: QwenImageDiTConfig, num_steps: int,
         B = tokens.shape[0]
         sigmas = jnp.linspace(1.0, 0.0, num_steps + 1)
         null = jnp.zeros_like(text_embeds)
+        # guidance: scalar or [B] (batched requests carry per-sample CFG)
         gvec = jnp.asarray(guidance, jnp.float32) * jnp.ones((B,))
+        gb = gvec.reshape((B, 1, 1))
 
         def step(tok, i):
             tvec = jnp.full((B,), sigmas[i] * 1000.0, jnp.float32)
             v_c = fwd(params, tok, text_embeds, text_mask, tvec,
                       img_shapes, gvec)
             v_u = fwd(params, tok, null, text_mask, tvec, img_shapes, gvec)
-            v = v_u + guidance * (v_c - v_u)
+            v = v_u + gb * (v_c - v_u)
             return tok - (sigmas[i] - sigmas[i + 1]) * v, None
 
         tok, _ = jax.lax.scan(step, tokens, jnp.arange(num_steps))

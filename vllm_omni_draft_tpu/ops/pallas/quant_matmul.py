@@ -186,6 +186,8 @@ def matmul_int8_stacked_pallas(
     layer: jax.Array,  # scalar int32
     block_o: int = 512,
 ) -> jax.Array:
+    if max(8, -(-x.shape[0] // 8) * 8) > _INT4_MAX_BP:
+        return _matmul_int8_stacked_rowtiled(x, q, s, layer)
     specs = lambda bo: [
         pl.BlockSpec((1, bo, 1), lambda i, l: (l[0], i, 0),
                      memory_space=pltpu.VMEM)
@@ -202,6 +204,8 @@ def matmul_dense_stacked_pallas(
     layer: jax.Array,  # scalar int32
     block_o: int = 512,
 ) -> jax.Array:
+    if max(8, -(-x.shape[0] // 8) * 8) > _INT4_MAX_BP:
+        return _matmul_dense_stacked_rowtiled(x, w, layer)
     return _stacked_call(
         _dense_kernel_stacked, x, w, lambda bo: [], (), layer, block_o,
         itemsize=w.dtype.itemsize,
@@ -226,12 +230,7 @@ def matmul_int4_stacked_pallas(
     G = s.shape[2]
     group_size = I // G
     BP = max(8, -(-B // 8) * 8)
-    if (
-        BP > _INT4_MAX_BP
-        or G % 2
-        or group_size % 128
-        or (I // 2) % group_size
-    ):
+    if G % 2 or group_size % 128 or (I // 2) % group_size:
         from vllm_omni_draft_tpu.ops import quant as q
 
         w = q.dequantize(
@@ -239,6 +238,8 @@ def matmul_int4_stacked_pallas(
             dtype=x.dtype,
         )
         return x @ w.T
+    if BP > _INT4_MAX_BP:  # batched-prefill rows: 2-D row-tiled grid
+        return _matmul_int4_stacked_rowtiled(x, packed, s, layer)
     if BP != B:
         x = jnp.pad(x, ((0, BP - B), (0, 0)))
     st, Gp = _st16(jnp.take(s, layer, axis=0))  # [Gp, O] f32 = 16*s
@@ -358,11 +359,155 @@ def _st16(s: jax.Array):
     return st, Gp
 
 
-# activations wider than this take the XLA fallback. 256 rows covers the
-# spec-verify batch (B*(K+1) = 32*5 = 160) and B=64..256 plain decode;
-# the x-aware VMEM budget (_budget_rows) shrinks the weight tile to
-# compensate.
+# rows above which the 1-D grid (x fully VMEM-resident) hands over to
+# the 2-D row-tiled grid below. 256 rows covers the spec-verify batch
+# (B*(K+1) = 32*5 = 160) and B=64..256 plain decode; batched multi-
+# sequence prefill (N x bucket rows, e.g. 8*128 = 1024) takes the
+# row-tiled path.
 _INT4_MAX_BP = 256
+
+
+# ---------------------------------------------------------------------------
+# Row-tiled (2-D grid) variants: batched-prefill row counts (N prompt
+# chunks x bucket = 512-4096 rows) can't keep x VMEM-resident — at
+# I=18944 even 256 rows of bf16 x is 9.7 MB. Grid (BP//bb, O//bo), rows
+# OUTER / output tiles INNER: the x tile's index map is constant across
+# the inner o-steps so pallas fetches it once per row tile, while weight
+# tiles re-stream once per row tile. At prefill row counts every
+# projection is MXU-compute-bound (2*bb*bo*I FLOPs per step vs bo*I/2
+# weight bytes), so the re-streamed weight traffic hides under compute
+# (gate at BP=1024: 136 MB DMA ~166 us vs 706 us MXU). Replaces the
+# round-3 XLA-dequant fallback that made one-seq-per-call prefill run at
+# ~2.3k tok/s (VERDICT r3 item 1).
+# ---------------------------------------------------------------------------
+
+
+def _row_block(I: int, itemsize: int) -> int:
+    """x row-tile: 256 rows unless the tile would crowd out the weight
+    double-buffers (wide-I down proj), then 128."""
+    return 256 if 256 * I * itemsize <= 6 * 1024 * 1024 else 128
+
+
+def _rowtiled_budget_o(
+    O: int, bb: int, I: int, x_itemsize: int, row_bytes: int,
+    extra_row_bytes: int = 0,
+) -> int:
+    avail = _VMEM_BUDGET - bb * I * x_itemsize
+    per_row = 2 * (row_bytes + extra_row_bytes + bb * x_itemsize)
+    rows = max(128, avail // per_row) if avail > 0 else 128
+    return _pick_block_o(O, rows)
+
+
+def _rowtiled_stacked_call(kernel, x, w_stacked, extra_specs, extra_args,
+                           layer, itemsize, extra_row_bytes=0):
+    """Shared row-tiled wrapper for the stacked [L, O, ...] weights."""
+    B, I = x.shape
+    L, O = w_stacked.shape[0], w_stacked.shape[1]
+    bb = _row_block(I, x.dtype.itemsize)
+    BPp = -(-B // bb) * bb
+    if BPp != B:
+        x = jnp.pad(x, ((0, BPp - B), (0, 0)))
+    row_bytes = w_stacked.shape[2] * itemsize
+    block_o = _rowtiled_budget_o(
+        O, bb, I, x.dtype.itemsize, row_bytes, extra_row_bytes
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BPp // bb, O // block_o),
+        in_specs=[
+            pl.BlockSpec((bb, I), lambda b, o, l: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_o, w_stacked.shape[2]),
+                         lambda b, o, l: (l[0], o, 0),
+                         memory_space=pltpu.VMEM),
+            *extra_specs(block_o),
+        ],
+        out_specs=pl.BlockSpec((bb, block_o), lambda b, o, l: (b, o),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BPp, O), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BPp * O * I,
+            bytes_accessed=(BPp // bb) * O * row_bytes
+            + BPp * I * x.dtype.itemsize
+            + BPp * O * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32), x, w_stacked, *extra_args)
+    return out[:B]
+
+
+def _matmul_int8_stacked_rowtiled(x, q, s, layer):
+    specs = lambda bo: [
+        pl.BlockSpec((1, bo, 1), lambda b, o, l: (l[0], o, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    return _rowtiled_stacked_call(
+        _int8_kernel_stacked, x, q, specs, (s,), layer, itemsize=1
+    )
+
+
+def _matmul_dense_stacked_rowtiled(x, w, layer):
+    return _rowtiled_stacked_call(
+        _dense_kernel_stacked, x, w, lambda bo: [], (), layer,
+        itemsize=w.dtype.itemsize,
+    )
+
+
+def _matmul_int4_stacked_rowtiled(x, packed, s, layer):
+    """Row-tiled layer-indexed int4 (same unpack math as the 1-D path;
+    scales dynamic-sliced outside, see matmul_int4_stacked_pallas)."""
+    B, I = x.shape
+    L, O = packed.shape[0], packed.shape[1]
+    G = s.shape[2]
+    group_size = I // G
+    st, Gp = _st16(jnp.take(s, layer, axis=0))  # [Gp, O] f32 = 16*s
+    bb = _row_block(I, x.dtype.itemsize)
+    BPp = -(-B // bb) * bb
+    if BPp != B:
+        x = jnp.pad(x, ((0, BPp - B), (0, 0)))
+    block_o = _rowtiled_budget_o(
+        O, bb, I, x.dtype.itemsize, row_bytes=I // 2,
+        extra_row_bytes=Gp * 4 + 28 * group_size,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BPp // bb, O // block_o),
+        in_specs=[
+            pl.BlockSpec((bb, I), lambda b, o, l: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_o, I // 2), lambda b, o, l: (l[0], o, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gp, block_o), lambda b, o, l: (0, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, block_o), lambda b, o, l: (b, o),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_int4_kernel_stacked, group_size=group_size),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BPp, O), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * BPp * O * I,
+            bytes_accessed=(BPp // bb) * O * I // 2
+            + BPp * I * x.dtype.itemsize
+            + BPp * O * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32), x, packed, st)
+    return out[:B]
 
 
 # ---------------------------------------------------------------------------
