@@ -247,6 +247,24 @@ def main():
                 while engine.has_unfinished():
                     engine.step()
                 engine.scheduler.purge_finished()
+            if w == 0 and os.environ.get("VOT_BENCH_PROFILE") == "1":
+                sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+                from benchmarks.prof_util import print_top
+
+                def burst():
+                    for i, p in enumerate(prompts):
+                        engine.add_request(Request(
+                            request_id=f"pprof-{i}", prompt_token_ids=p,
+                            sampling_params=sp1,
+                        ))
+                    while engine.has_unfinished():
+                        engine.step()
+                    engine.scheduler.purge_finished()
+
+                log("=== device-time breakdown of one prefill burst ===")
+                print_top(burst,
+                          n=int(os.environ.get("VOT_BENCH_PROFILE_N", "30")),
+                          warmup=0)
             t0 = time.perf_counter()
             for i, p in enumerate(prompts):
                 engine.add_request(Request(

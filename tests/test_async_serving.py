@@ -389,3 +389,80 @@ def test_api_server_bad_response_format(async_llm):
 
     raw = asyncio.run(run())
     assert b"400" in raw.split(b"\r\n")[0]
+
+
+def test_api_server_image_generations(async_llm):
+    """HTTP T2I end-to-end on the synthetic diffusion stage (round-4:
+    served image route; reference runs image generation through the
+    serving engine, `src/qwen_image_gen/worker.py:47-95`). n=2 jobs
+    enqueue together and run as ONE batched denoise; the response
+    carries decodable base64 PNGs."""
+    import base64
+
+    from vllm_omni_draft_tpu.entrypoints.image_service import ImageService
+    from vllm_omni_draft_tpu.models.dit import (
+        DiffusionStageEngine, DiTConfig,
+    )
+    from vllm_omni_draft_tpu.models.vae import VAE, VAEConfig
+
+    eng = DiffusionStageEngine(dit_config=DiTConfig(
+        latent_channels=4, patch_size=2, hidden_size=64, depth=2,
+        num_heads=4, text_dim=32, dtype="float32",
+    ))
+    eng.vae = VAE(VAEConfig(latent_channels=4, base_channels=16))
+    svc = ImageService(eng)
+
+    async def run():
+        from vllm_omni_draft_tpu.entrypoints.api_server import serve
+
+        srv = await serve(async_llm, host="127.0.0.1", port=0,
+                          image_service=svc)
+        port = srv.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        body = json.dumps({"prompt": "a red fox", "n": 2,
+                           "size": "32x32", "num_inference_steps": 2,
+                           "seed": 5}).encode()
+        writer.write(
+            b"POST /v1/images/generations HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+        await writer.drain()
+        raw = await reader.read()
+        writer.close()
+        head, _, payload = raw.partition(b"\r\n\r\n")
+        assert b"200" in head.split(b"\r\n")[0]
+        resp = json.loads(payload)
+        srv.close()
+        return resp
+
+    resp = asyncio.run(run())
+    assert len(resp["data"]) == 2
+    png0 = base64.b64decode(resp["data"][0]["b64_json"])
+    assert png0.startswith(b"\x89PNG\r\n\x1a\n")
+    # different seeds -> different images
+    assert resp["data"][0]["b64_json"] != resp["data"][1]["b64_json"]
+    # n=2 grouped into one batched generate call
+    assert svc.num_generated == 2
+
+
+def test_api_server_image_route_unconfigured(async_llm):
+    async def run():
+        from vllm_omni_draft_tpu.entrypoints.api_server import serve
+
+        srv = await serve(async_llm, host="127.0.0.1", port=0)
+        port = srv.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        body = json.dumps({"prompt": "x"}).encode()
+        writer.write(
+            b"POST /v1/images/generations HTTP/1.1\r\nHost: x\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+        await writer.drain()
+        raw = await reader.read()
+        writer.close()
+        srv.close()
+        return raw
+
+    raw = asyncio.run(run())
+    assert b"400" in raw.split(b"\r\n")[0]

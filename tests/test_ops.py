@@ -211,3 +211,38 @@ def test_attention_backend_resolution_and_dispatch():
         assert calls
     finally:
         att.use_pallas_kernel(old)
+
+
+def test_batched_first_token_sampler_matches_per_row():
+    """The prefill group sampler (runner._first_tokens_fn construction:
+    row-local compute_probs + vmapped per-key categorical) must emit the
+    IDENTICAL token the per-request sample_one path emits for the same
+    row logits and folded key — greedy rows included."""
+    import jax
+
+    from vllm_omni_draft_tpu.ops.sampling import (
+        compute_probs,
+        sample_from_probs,
+    )
+
+    N, V = 8, 997
+    key = jax.random.PRNGKey(42)
+    logits = jax.random.normal(jax.random.fold_in(key, 1), (N, V))
+    temps = jnp.asarray([0.0, 0.7, 1.0, 1.3, 0.0, 0.5, 2.0, 0.9])
+    ks = jnp.asarray([0, 64, 0, 16, 0, 8, 32, 0], jnp.int32)
+    ps = jnp.asarray([1.0, 0.95, 0.9, 1.0, 1.0, 0.8, 0.99, 0.5])
+    keys = jnp.stack([jax.random.fold_in(key, 1000 + i) for i in range(N)])
+
+    probs = compute_probs(logits, temps, ks, ps)
+    batched = jax.vmap(lambda p, k: sample_from_probs(p[None], k)[0])(
+        probs, keys
+    )
+    for i in range(N):
+        p1 = compute_probs(
+            logits[i][None], temps[i][None], ks[i][None], ps[i][None]
+        )
+        tok1 = sample_from_probs(p1, keys[i])[0]
+        assert int(batched[i]) == int(tok1), i
+    # greedy rows equal plain argmax (the old per-request _argmax_fn)
+    for i in (0, 4):
+        assert int(batched[i]) == int(jnp.argmax(logits[i]))

@@ -448,6 +448,23 @@ class ModelRunner:
         self._sample_fn = jit(sample_one)
         self._argmax_fn = jit(lambda logits: jnp.argmax(logits, -1).astype(jnp.int32))
 
+        def first_tokens_batch(logits, temps, top_ks, top_ps, keys):
+            """Per-row first-token sampling for a prefill group [N, V]:
+            row-local compute_probs (greedy rows one-hot at the argmax)
+            + per-row categorical under that row's own folded key —
+            token-for-token identical to the per-request sample_one /
+            argmax path, but ONE device program and ONE host readback
+            per group instead of one blocking sync per request (the
+            ~30 ms axon readback per request dominated cold-burst
+            prefill: 32 requests ~ 1 s of host-blocked time while the
+            chip sat idle)."""
+            probs = compute_probs(logits, temps, top_ks, top_ps)
+            return jax.vmap(
+                lambda p, k: sample_from_probs(p[None], k)[0]
+            )(probs, keys)
+
+        self._first_tokens_fn = jit(first_tokens_batch)
+
         def _unpack_mask(words, V):
             """Packed uint32 words [..., W] -> bool keep mask [..., V]
             (bit i of word w covers token id w*32+i — the
@@ -1027,6 +1044,13 @@ class ModelRunner:
         out = RunnerOutput(new_tokens={})
         self.step_count += 1
         key = jax.random.fold_in(self.base_key, self.step_count)
+        # deferred host bookkeeping, run at PendingStep.resolve(): decode
+        # finishers AND batched prefill first-token readbacks. All prefill
+        # groups' token arrays concatenate into ONE device array read back
+        # once at resolve time (each separate readback pays the ~30 ms
+        # axon sync quantum).
+        finishes: list = []
+        first_tok_parts: list = []  # (device toks [N], [(row, req), ...])
 
         # ---- prefills (bucketed; PLAIN chunks batch multi-sequence) ----
         # mm / prompt-logprobs chunks keep their specialized single-seq
@@ -1127,11 +1151,47 @@ class ModelRunner:
                             jnp.asarray(num_real),
                             jnp.asarray(bts),
                         )
+                # split rows: grammar-masked / recompute rows keep the
+                # immediate per-request path; plain sampling rows batch
+                # into ONE device sampler + ONE deferred readback
+                samp_rows: list = []
                 for n, sp in enumerate(group):
-                    self._after_prefill_chunk(
-                        sp.request, sp, logits_b[n], out, key, rng_i
-                    )
+                    i = rng_i
                     rng_i += 1
+                    req = sp.request
+                    mgr = getattr(self, "structured", None)
+                    gmask = (
+                        mgr.mask(req.request_id)
+                        if (mgr is not None and sp.is_final_chunk
+                            and sp.sample_on_final)
+                        else None
+                    )
+                    if (sp.is_final_chunk and sp.sample_on_final
+                            and gmask is None):
+                        samp_rows.append((n, req, i))
+                    else:
+                        self._after_prefill_chunk(
+                            req, sp, logits_b[n], out, key, i
+                        )
+                if samp_rows:
+                    temps = np.zeros(N, np.float32)
+                    ks = np.zeros(N, np.int32)
+                    ps = np.ones(N, np.float32)
+                    keys = [jax.random.fold_in(key, 0)] * N
+                    for n, req, i in samp_rows:
+                        p = req.sampling_params
+                        temps[n] = p.temperature
+                        ks[n] = p.top_k
+                        ps[n] = p.top_p
+                        keys[n] = jax.random.fold_in(key, 1000 + i)
+                    toks_dev = self._first_tokens_fn(
+                        logits_b,
+                        jnp.asarray(temps), jnp.asarray(ks),
+                        jnp.asarray(ps), jnp.stack(keys),
+                    )
+                    first_tok_parts.append(
+                        (toks_dev, [(n, req) for n, req, _ in samp_rows])
+                    )
 
         for sp in special:
             i = rng_i
@@ -1210,7 +1270,56 @@ class ModelRunner:
                     jnp.int32(sp.chunk_len),
                     bt,
                 )
-            self._after_prefill_chunk(req, sp, logits, out, key, i)
+            # same deferral as the batched path: unmasked sampling rows
+            # queue ONE device sampler call + a resolve-time readback
+            # (mm prefill bursts otherwise pay a ~30 ms sync per image)
+            mgr = getattr(self, "structured", None)
+            gmask = (
+                mgr.mask(req.request_id)
+                if (mgr is not None and sp.is_final_chunk
+                    and sp.sample_on_final)
+                else None
+            )
+            if sp.is_final_chunk and sp.sample_on_final and gmask is None:
+                p = req.sampling_params
+                toks_dev = self._first_tokens_fn(
+                    logits[None],
+                    jnp.asarray([p.temperature], jnp.float32),
+                    jnp.asarray([p.top_k], jnp.int32),
+                    jnp.asarray([p.top_p], jnp.float32),
+                    jax.random.fold_in(key, 1000 + i)[None],
+                )
+
+                first_tok_parts.append((toks_dev, [(0, req)]))
+            else:
+                self._after_prefill_chunk(req, sp, logits, out, key, i)
+
+        if first_tok_parts:
+            # one device concat + ONE resolve-time readback for every
+            # prefill first token this step
+            all_toks = (
+                first_tok_parts[0][0]
+                if len(first_tok_parts) == 1
+                else jnp.concatenate([p[0] for p in first_tok_parts])
+            )
+            offsets = []
+            base = 0
+            for toks_dev, rows in first_tok_parts:
+                offsets.append((base, rows))
+                base += int(toks_dev.shape[0])
+
+            def finish_first_tokens(toks=all_toks, offsets=offsets):
+                toks_np = host_np(toks)
+                for base, rows in offsets:
+                    for n, req in rows:
+                        if req.slot < 0:
+                            continue  # aborted while in flight
+                        tok = int(toks_np[base + n])
+                        out.new_tokens[req.request_id] = [tok]
+                        self.last_tokens[req.slot] = tok
+                        self.seq_lens[req.slot] = req.num_prompt_tokens + 1
+
+            finishes.append(finish_first_tokens)
 
         # ---- decodes ----
         # A mixed batch splits into (a) grammar-constrained rows — masked
@@ -1221,7 +1330,6 @@ class ModelRunner:
         # running for unconstrained rows while a structured request sits
         # in the same batch (reference computes the grammar bitmask
         # alongside spec decode; `engine_core.md:307-310`).
-        finishes: list = []
         out_feed = None
         if sched.decodes:
             active = np.zeros(self.B, np.int32)

@@ -84,9 +84,15 @@ def _sampling_from_body(body: dict, tokenizer=None) -> SamplingParams:
 
 
 class ApiServer:
-    def __init__(self, async_llm: AsyncLLM, model_name: str = "model"):
+    def __init__(self, async_llm: AsyncLLM, model_name: str = "model",
+                 image_service=None):
         self.llm = async_llm
         self.model_name = model_name
+        # optional diffusion stage behind queued admission + dynamic
+        # batching (entrypoints/image_service.py; reference surface:
+        # engine-integrated image generation,
+        # `src/qwen_image_gen/worker.py:47-95`, `engine_core.md:837-943`)
+        self.image_service = image_service
 
     # ------------------------------------------------------------------
     # HTTP plumbing
@@ -198,6 +204,20 @@ class ApiServer:
             return await self._json(writer, 200, {
                 "object": "list", "data": data, "model": self.model_name,
             })
+        if method == "POST" and path == "/v1/images/generations":
+            if self.image_service is None:
+                return await self._json(
+                    writer, 400,
+                    {"error": "no image stage configured on this server"},
+                )
+            try:
+                payload = json.loads(body or b"{}")
+            except json.JSONDecodeError:
+                return await self._json(writer, 400, {"error": "invalid JSON"})
+            try:
+                return await self._images(writer, payload)
+            except ValueError as e:
+                return await self._json(writer, 400, {"error": str(e)})
         if method == "POST" and path in ("/v1/completions", "/v1/chat/completions"):
             try:
                 payload = json.loads(body or b"{}")
@@ -303,9 +323,58 @@ class ApiServer:
         await self._json(writer, 200, resp)
 
 
+    # ------------------------------------------------------------------
+    # image generation (OpenAI images surface over the diffusion stage)
+    # ------------------------------------------------------------------
+
+    async def _images(self, writer, body: dict) -> None:
+        """POST /v1/images/generations: {prompt, n, size "WxH",
+        num_inference_steps, guidance_scale, seed,
+        response_format: "b64_json" | "latents"}. n>1 fans out to n
+        seeds; all n jobs enqueue together, so they run as ONE batched
+        denoise (dynamic batching also groups concurrent clients)."""
+        prompt = body.get("prompt")
+        if not prompt:
+            raise ValueError("prompt required")
+        n = int(body.get("n", 1))
+        if not 1 <= n <= 8:
+            raise ValueError("n must be in [1, 8]")
+        rf = body.get("response_format", "b64_json")
+        if rf not in ("b64_json", "latents"):
+            raise ValueError(f"unsupported response_format {rf!r}")
+        seed0 = body.get("seed")
+        jobs = []
+        for i in range(n):
+            jobs.append(self.image_service.submit(self.image_service.build_inputs(
+                prompt,
+                size=body.get("size", "256x256"),
+                steps=int(body.get("num_inference_steps", 4)),
+                guidance=float(body.get("guidance_scale", 2.0)),
+                seed=(int(seed0) + i) if seed0 is not None else i,
+            )))
+        outs = await asyncio.gather(*jobs)
+        from vllm_omni_draft_tpu.entrypoints.image_service import (
+            pixels_to_png_b64,
+        )
+
+        data = []
+        for out in outs:
+            if rf == "b64_json":
+                data.append({"b64_json": pixels_to_png_b64(out.pixels)})
+            else:
+                import numpy as _np
+
+                lat = _np.asarray(out.latents)
+                data.append({"latents": lat.tolist(),
+                             "shape": list(lat.shape)})
+        await self._json(writer, 200, {
+            "created": int(time.time()), "data": data,
+        })
+
+
 async def serve(async_llm: AsyncLLM, host: str = "127.0.0.1", port: int = 8000,
-                model_name: str = "model"):
-    server = ApiServer(async_llm, model_name)
+                model_name: str = "model", image_service=None):
+    server = ApiServer(async_llm, model_name, image_service=image_service)
     srv = await asyncio.start_server(server.handle, host, port)
     return srv
 
