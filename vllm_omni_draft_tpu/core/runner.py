@@ -464,6 +464,13 @@ class ModelRunner:
             )(probs, keys)
 
         self._first_tokens_fn = jit(first_tokens_batch)
+        # fold all row keys in ONE dispatch (N separate fold_in calls are
+        # N tiny device programs over the tunnel)
+        self._fold_keys_fn = jit(
+            lambda key, idxs: jax.vmap(
+                lambda i: jax.random.fold_in(key, i)
+            )(idxs)
+        )
 
         def _unpack_mask(words, V):
             """Packed uint32 words [..., W] -> bool keep mask [..., V]
@@ -1177,17 +1184,18 @@ class ModelRunner:
                     temps = np.zeros(N, np.float32)
                     ks = np.zeros(N, np.int32)
                     ps = np.ones(N, np.float32)
-                    keys = [jax.random.fold_in(key, 0)] * N
+                    key_idx = np.zeros(N, np.int32)
                     for n, req, i in samp_rows:
                         p = req.sampling_params
                         temps[n] = p.temperature
                         ks[n] = p.top_k
                         ps[n] = p.top_p
-                        keys[n] = jax.random.fold_in(key, 1000 + i)
+                        key_idx[n] = 1000 + i
                     toks_dev = self._first_tokens_fn(
                         logits_b,
                         jnp.asarray(temps), jnp.asarray(ks),
-                        jnp.asarray(ps), jnp.stack(keys),
+                        jnp.asarray(ps),
+                        self._fold_keys_fn(key, jnp.asarray(key_idx)),
                     )
                     first_tok_parts.append(
                         (toks_dev, [(n, req) for n, req, _ in samp_rows])

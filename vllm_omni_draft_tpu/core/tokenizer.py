@@ -72,9 +72,13 @@ class IncrementalDetokenizer:
 
     def __init__(self, tokenizer, prompt_token_ids: list[int]):
         self.tokenizer = tokenizer
-        self.token_ids: list[int] = []
+        # seed with the prompt tail so the first output tokens decode in
+        # context (BPE pieces join with preceding text: leading-space and
+        # multi-byte handling differ when decoded in isolation)
+        ctx = list(prompt_token_ids[-5:]) if prompt_token_ids else []
+        self.token_ids: list[int] = ctx
         self.prefix_offset = 0
-        self.read_offset = 0
+        self.read_offset = len(ctx)
         self.text = ""
 
     def update(self, new_token_ids: list[int]) -> str:
