@@ -86,12 +86,19 @@ def main():
         )
     )
 
-    def layer_flops_per_token():
+    def stream_flops(prefix):
+        """2 FLOP per weight element per token, for ONE stream's weights
+        (dual-stream MMDiT applies img_* weights to image tokens only and
+        txt_* to text tokens only — summing all weights over all tokens
+        overcounts ~2x)."""
         per_layer = 0
-        for x in jax.tree.leaves(lp["layers"] if "layers" in lp else lp):
-            if x.ndim >= 2:
-                per_layer += int(np.prod(x.shape[-2:]))
-        return 2 * per_layer  # 2 FLOP per weight element per token
+        for name, sub in lp["blocks"].items():
+            if not name.startswith(prefix):
+                continue
+            for x in jax.tree.leaves(sub):
+                if x.ndim >= 2:
+                    per_layer += int(np.prod(x.shape[-2:]))
+        return 2 * per_layer
 
     results = []
     for bs in bss:
@@ -117,9 +124,10 @@ def main():
         np.asarray(out[0, 0, 0])
         dt = time.time() - t0
 
-        # matmul FLOPs: layers on (n_img + seq) joint tokens, x2 CFG
+        # matmul FLOPs: per-stream weights x that stream's tokens, x2 CFG
         flops = (
-            2 * bs * (n_img + seq) * layer_flops_per_token() * L * steps
+            2 * bs * (n_img * stream_flops("img")
+                      + seq * stream_flops("txt")) * L * steps
         )
         mfu = flops / dt / (PEAK_TFLOPS * 1e12)
         s_img = dt / bs
