@@ -69,8 +69,13 @@ def main():
     Vd = runner.draft_vocab or 151_936
     ids = np.arange(0, Vd - 8, dtype=np.int32)
 
-    # intended agree set (mirror of utils/oracle.py)
-    h = (ids.astype(np.uint32) * np.uint32(2654435761)) >> np.uint32(17)
+    # intended agree set (mirror of utils/oracle.py — lowbias32 avalanche)
+    h = ids.astype(np.uint32)
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x7FEB352D)
+    h = h ^ (h >> np.uint32(15))
+    h = h * np.uint32(0x846CA68B)
+    h = h ^ (h >> np.uint32(16))
     agree = (h % np.uint32(1000)) < np.uint32(int(round(p * 1000)))
     intended_D = np.where(agree, ids + 1, ids + 2)
 

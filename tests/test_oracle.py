@@ -24,8 +24,13 @@ K = 4
 
 
 def _engine(vocab=4096):
+    # draft hidden >= 64: the acceptance-p oracle's argmax maps need
+    # the matched-row margin (D) to clear the max cross-talk over V^2
+    # near-Gaussian dots (~4.1*sqrt(2D) at V=4096). At D=32 ~4% of ids
+    # mis-map and silently deflate the acceptance statistic; at D=64
+    # the maps are exact (verified numerically, round 4).
     draft = ModelConfig.tiny(
-        vocab_size=vocab, hidden_size=32, intermediate_size=64,
+        vocab_size=vocab, hidden_size=64, intermediate_size=128,
         num_heads=2, num_kv_heads=2, head_dim=16, max_model_len=512,
     )
     return EngineCore(EngineConfig(
@@ -79,9 +84,18 @@ def test_oracle_acceptance_p_tracks_target(p):
     — the real spec-decode statistics at per-position acceptance p."""
     engine = _engine()
     apply_oracle_acceptance_p(engine.runner, p)
-    stats, emitted = _run(engine)
+    # spread the walk starts over the WHOLE vocab: the statistic is a
+    # sample of the hashed agree set along each walk, and four 220-token
+    # walks packed into one narrow id window share (correlated) sample
+    # noise — seed-3 starts in [1,2000) read 0.50 at p=0.8 (law 0.59)
+    # with a CORRECT engine (round-4 diagnosis).
+    stats, emitted = _run(engine, hi=3800)
     expect_ratio = p * (1 - p ** K) / (K * (1 - p))
-    assert abs(stats.acceptance_rate - expect_ratio) < 0.1, (
+    # walk-sampling sigma at ~350 iters is ~0.02; 0.06 = 3 sigma.
+    # (The round-3 0.1 tolerance hid two compensating biases: hash
+    # stride autocorrelation inflating runs and tiny-dim map errors
+    # deflating them — both fixed in round 4.)
+    assert abs(stats.acceptance_rate - expect_ratio) < 0.06, (
         f"accept ratio {stats.acceptance_rate:.3f}, "
         f"expected {expect_ratio:.3f} (p={p})"
     )

@@ -100,6 +100,21 @@ def apply_oracle_acceptance_p(runner, p: float) -> None:
 
     @jax.jit
     def make_heads(t_embed, d_embed):
+        # equal-norm embedding rows: the argmax margin for token t is
+        # |e_t|^2 while the worst-case cross-talk is the max of ~V^2
+        # near-Gaussian dots (~4 sigma at V=4096). Random-init rows have
+        # chi^2_D norms, and at test dims (D=32) the weak-row tail loses
+        # the argmax for ~12% of ids — which silently DEFLATED the
+        # engine acceptance statistic at tiny configs. Normalizing rows
+        # pins every margin at the mean, killing the tail (big-model
+        # margins are unaffected in distribution).
+        def unit_rows(e):
+            n = jnp.linalg.norm(e.astype(jnp.float32), axis=1, keepdims=True)
+            scale = jnp.sqrt(jnp.asarray(e.shape[1], jnp.float32))
+            return (e / jnp.maximum(n, 1e-6) * scale).astype(e.dtype)
+
+        t_embed = unit_rows(t_embed)
+        d_embed = unit_rows(d_embed)
         # target: row t+1 := t_embed[t]  (roll along vocab axis)
         t_head = jnp.roll(t_embed, 1, axis=0)
         # draft walks the TARGET's cycle but must stay inside its pruned
@@ -108,10 +123,19 @@ def apply_oracle_acceptance_p(runner, p: float) -> None:
         de = d_embed[:Vd]
         ids = jnp.arange(Vd, dtype=jnp.uint32)
         # hashed agree-set: the emitted walk visits CONSECUTIVE ids, so
-        # an arithmetic stripe would give long agree/disagree runs; a
-        # multiplicative hash decorrelates neighbors => per-position
-        # Bernoulli(p) acceptance along the walk
-        h = (ids * jnp.uint32(2654435761)) >> jnp.uint32(17)
+        # the hash must decorrelate NEIGHBORS. A bare multiplicative hash
+        # ((id*2654435761)>>17 % 1000) does not: consecutive ids step the
+        # residue by a near-constant ~259.17, which lengthens agree runs
+        # and inflated the engine statistic to 0.60 at nominal p=0.7
+        # (round-4 probe, scripts/tpu_acceptance_probe.py — the TPU maps
+        # themselves were exact; the drift was this autocorrelation).
+        # Use an avalanche finalizer (lowbias32) instead: walk-simulated
+        # accepted/drafted is 0.4421 vs law 0.4433 at p=0.7.
+        h = ids ^ (ids >> jnp.uint32(16))
+        h = h * jnp.uint32(0x7FEB352D)
+        h = h ^ (h >> jnp.uint32(15))
+        h = h * jnp.uint32(0x846CA68B)
+        h = h ^ (h >> jnp.uint32(16))
         agree = (h % jnp.uint32(1000)) < jnp.uint32(int(round(p * 1000)))
         d_head = jnp.where(
             jnp.roll(agree, 1)[:, None], jnp.roll(de, 1, axis=0), 0.0
