@@ -19,6 +19,7 @@ per step. KV caches are donated, so XLA updates them in place.
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -203,6 +204,17 @@ class ModelRunner:
         self.target_mod, self.target_params = _build_params(config.model)
         self.target_params = _maybe_fuse(config.model, self.target_params)
         self.target_fwd = self.target_mod.make_forward(config.model)
+        # decode/verify-side forward: deferred KV commit (one batched
+        # all-layer scatter pair per forward + VMEM attention tail)
+        # replaces 2L per-layer scatters — ~7.3 ms/step of fixed scatter
+        # cost in the round-3 deep profile. VOT_DEFER_KV=0 restores the
+        # immediate-write forward for A/B. Prefill paths keep the
+        # immediate forward (the prefill kernel has no tail mode).
+        self._defer_kv = os.environ.get("VOT_DEFER_KV", "1") == "1"
+        self.target_fwd_dec = (
+            self.target_mod.make_forward(config.model, deferred_kv=True)
+            if self._defer_kv else self.target_fwd
+        )
         if self.mesh is not None:
             self.target_params = shd.shard_params(self.target_params, self.mesh)
         self.draft_cfg = config.speculative.draft_model if config.speculative else None
@@ -213,6 +225,10 @@ class ModelRunner:
             self.draft_mod, self.draft_params = _build_params(self.draft_cfg)
             self.draft_params = _maybe_fuse(self.draft_cfg, self.draft_params)
             self.draft_fwd = self.draft_mod.make_forward(self.draft_cfg)
+            self.draft_fwd_dec = (
+                self.draft_mod.make_forward(self.draft_cfg, deferred_kv=True)
+                if self._defer_kv else self.draft_fwd
+            )
             if self.mesh is not None:
                 self.draft_params = shd.replicate(self.draft_params, self.mesh)
             if self.draft_vocab and self.draft_vocab < self.draft_cfg.vocab_size:
@@ -507,7 +523,7 @@ class ModelRunner:
                 positions=positions,
                 slot_mapping=_slots_from_positions(block_tables, positions, bs),
             )
-            hidden, kv = self.target_fwd(params, cur[:, None], positions, kv, meta)
+            hidden, kv = self.target_fwd_dec(params, cur[:, None], positions, kv, meta)
             tok = pick_token(hidden[:, 0])
             lens = jnp.where(active, lens + 1, lens)
             return kv, tok, lens
@@ -642,7 +658,7 @@ class ModelRunner:
                 slot_mapping=_slots_from_positions(block_tables, pos0, bs),
             )
             toks0 = jnp.stack([prev, last], axis=1)  # [B, 2]
-            hidden0, kv_d = self.draft_fwd(params_d, toks0, pos0, kv_d, meta0)
+            hidden0, kv_d = self.draft_fwd_dec(params_d, toks0, pos0, kv_d, meta0)
 
             # q distributions stay on the (possibly pruned) draft vocab:
             # rejection_sample handles Vq < V natively (zero prob outside
@@ -687,7 +703,7 @@ class ModelRunner:
                     positions=positions,
                     slot_mapping=_slots_from_positions(block_tables, positions, bs),
                 )
-                hidden, kv_d = self.draft_fwd(
+                hidden, kv_d = self.draft_fwd_dec(
                     params_d, cur[:, None], positions, kv_d, meta
                 )
                 if greedy:
@@ -716,7 +732,7 @@ class ModelRunner:
                 positions=positions,
                 slot_mapping=_slots_from_positions(block_tables, positions, bs),
             )
-            hidden, kv_t = self.target_fwd(params_t, verify_toks, positions, kv_t, meta)
+            hidden, kv_t = self.target_fwd_dec(params_t, verify_toks, positions, kv_t, meta)
             lp = None
             if greedy:
                 assert not with_logprobs  # logprobs batches use the sampled fn

@@ -33,8 +33,10 @@ from vllm_omni_draft_tpu.ops import quant as quant_ops
 from vllm_omni_draft_tpu.ops.attention import (
     AttentionMetadata,
     attention_at_layer,
+    encode_kv,
     kv_store_dim,
     resolved_attention_backend,
+    write_kv_all_layers,
     write_kv_layer,
 )
 from vllm_omni_draft_tpu.ops.layers import (
@@ -169,7 +171,7 @@ def init_kv_cache(
 # ---------------------------------------------------------------------------
 
 
-def make_forward(cfg: ModelConfig):
+def make_forward(cfg: ModelConfig, deferred_kv: bool = False):
     """Build the pure forward fn:
 
       forward(params, token_ids [B,T], positions [B,T], kv_cache, meta,
@@ -179,6 +181,16 @@ def make_forward(cfg: ModelConfig):
     multimodal prefill path splices vision embeddings this way
     (reference capability: encoder inputs entering prefill,
     `src/doc/engine_core.md:297-298`).
+
+    `deferred_kv=True` builds the decode-side variant: instead of a
+    scatter pair per layer (2L XLA fusions/forward at ~16 us fixed cost
+    each — 7.3 ms/step in the engine deep profile), each layer's new KV
+    enters attention as a VMEM tail (attention_at_layer k_new/v_new) and
+    the cache commit is ONE batched scatter pair over all layers after
+    the scan (write_kv_all_layers). Token-identical to the immediate
+    path: the tail is pre-encoded to the cache dtype, so attention sees
+    exactly the values a write-then-read would. Use for short-T
+    decode/verify steps only (the prefill kernel has no tail path).
     """
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     Dk = kv_store_dim(Dh)
@@ -229,11 +241,20 @@ def make_forward(cfg: ModelConfig):
                 # zero lanes are exact (see ops.attention.kv_store_dim)
                 pad = ((0, 0), (0, 0), (0, 0), (0, Dk - Dh))
                 q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-            kc, vc = write_kv_layer(kc, vc, k, v, meta.slot_mapping, l,
-                                    kv_scale=kv_scale)
-            o = attention_at_layer(q, kc, vc, l, meta, scale,
-                                   kv_scale=kv_scale,
-                                   backend=attn_backend)[..., :Dh]
+            if deferred_kv:
+                k_enc, v_enc = encode_kv(k, v, kc.dtype, kv_scale)
+                o = attention_at_layer(q, kc, vc, l, meta, scale,
+                                       kv_scale=kv_scale,
+                                       backend=attn_backend,
+                                       k_new=k_enc, v_new=v_enc)[..., :Dh]
+                ys = (k_enc, v_enc)
+            else:
+                kc, vc = write_kv_layer(kc, vc, k, v, meta.slot_mapping, l,
+                                        kv_scale=kv_scale)
+                o = attention_at_layer(q, kc, vc, l, meta, scale,
+                                       kv_scale=kv_scale,
+                                       backend=attn_backend)[..., :Dh]
+                ys = None
             x = x + linear_at_layer(o.reshape(B, T, Hq * Dh), lw["o"], l)
 
             h = rms_norm(x, jnp.take(lw["ln2"], l, axis=0), eps)
@@ -245,17 +266,33 @@ def make_forward(cfg: ModelConfig):
                 g = linear_at_layer(h, lw["gate"], l)
                 u = linear_at_layer(h, lw["up"], l)
             x = x + linear_at_layer(jax.nn.silu(g) * u, lw["down"], l)
-            return (x, kc, vc), None
+            return (x, kc, vc), ys
 
         L = lw["ln1"].shape[0]
         carry = (x, kv_cache["k"], kv_cache["v"])
         # small models (spec drafts) unroll the layer loop: while-loop
         # iteration machinery is a measurable share of their per-forward
         # latency, and at <=8 layers program size stays reasonable
-        (x, new_k, new_v), _ = jax.lax.scan(
+        (x, new_k, new_v), ys = jax.lax.scan(
             layer_fn, carry, jnp.arange(L, dtype=jnp.int32),
             unroll=L if L <= 8 else 1,
         )
+        if deferred_kv:
+            # ONE scatter pair commits every layer's new KV ([L, B, T,
+            # Hkv, Dk] ys are already cache-encoded by the layer body).
+            # The barrier ties the cache to the scan output x (which
+            # depends on every attention READ of the cache): without a
+            # data dependency ordering reads before the in-place write,
+            # XLA's copy-insertion resolves the WAR hazard by COPYING
+            # cache regions every forward (profiled: ~12 ms/step of
+            # copy/fusion pairs — more than the per-layer scatters this
+            # path exists to remove).
+            new_k, new_v, x = jax.lax.optimization_barrier(
+                (new_k, new_v, x)
+            )
+            new_k, new_v = write_kv_all_layers(
+                new_k, new_v, ys[0], ys[1], meta.slot_mapping
+            )
         x = rms_norm(x, params["final_norm"], eps)
         return x, {"k": new_k, "v": new_v}
 

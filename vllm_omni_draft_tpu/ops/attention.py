@@ -56,6 +56,29 @@ class AttentionMetadata:
     slot_mapping: jax.Array
 
 
+def encode_kv(
+    k_new: jax.Array,  # [B, T, Hkv, D] compute dtype
+    v_new: jax.Array,
+    cache_dtype,
+    kv_scale: float = 1.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Convert new KV to the cache's storage dtype — the exact transform
+    write_kv applies, split out so the deferred-commit path (attention
+    reads the step's tokens from a VMEM tail, cache write batched over
+    all layers) sees bit-identical values to a write-then-read."""
+    if cache_dtype == quant_ops.FP8_DTYPE:
+        return (
+            quant_ops.kv_to_fp8(k_new, kv_scale),
+            quant_ops.kv_to_fp8(v_new, kv_scale),
+        )
+    if cache_dtype == jnp.int8:
+        return (
+            quant_ops.kv_to_int8(k_new, kv_scale),
+            quant_ops.kv_to_int8(v_new, kv_scale),
+        )
+    return k_new.astype(cache_dtype), v_new.astype(cache_dtype)
+
+
 def write_kv(
     k_cache: jax.Array,  # [NUM_BLOCKS, BLOCK, Hkv, D] (maybe fp8)
     v_cache: jax.Array,
@@ -127,6 +150,48 @@ def write_kv_layer(
     return k_cache, v_cache
 
 
+def write_kv_all_layers(
+    k_cache: jax.Array,  # [L, NUM_BLOCKS, BLOCK, Hkv, D] full cache
+    v_cache: jax.Array,
+    k_all: jax.Array,  # [L, B, T, Hkv, D] ALREADY in cache dtype (encode_kv)
+    v_all: jax.Array,
+    slot_mapping: jax.Array,  # [B, T] int32, -1 = drop (same for every layer)
+) -> tuple[jax.Array, jax.Array]:
+    """Deferred KV commit: ONE scatter pair for every layer's new tokens.
+
+    The per-layer write_kv_layer pair costs ~2x16 us of launch/fixed
+    overhead per layer per iteration (engine deep profile: 7.3 ms/step at
+    28 layers x 8 spec iters); batching the commit across layers after
+    the layer scan pays that cost once per forward. Requires the
+    attention path to read this step's tokens from the VMEM tail
+    (attention_at_layer k_new/v_new) since the cache no longer holds
+    them mid-scan. Reference surface: vLLM's reshape_and_cache fused
+    into PagedAttention (SURVEY.md §2.4)."""
+    L, nb, bs, h, d = k_cache.shape
+    flat = slot_mapping.reshape(-1)  # [B*T]
+    # 1-D row indices into the [L*NB*BS, h, d] flattened cache — the
+    # exact scatter form of write_kv, which XLA aliases in place. The
+    # multi-dim .at[lidx, blocks, offs] form lowered to gather+copy
+    # fusions that COPIED cache regions every iteration (profiled:
+    # 11.8 ms/step, worse than the per-layer scatters it replaced).
+    # The leading-dims collapse is layout-free, so no copy round-trip.
+    rows = jnp.where(flat < 0, nb * bs, flat)  # OOB row, dropped
+    rows = rows[None, :] + (
+        jnp.arange(L, dtype=jnp.int32) * (nb * bs)
+    )[:, None]  # [L, B*T]
+    # out-of-range stays out-of-range after the layer offset ONLY for
+    # layer 0; re-mask so every layer's pad rows drop
+    rows = jnp.where(flat[None, :] < 0, L * nb * bs, rows).reshape(-1)
+    k_flat = k_cache.reshape(L * nb * bs, h, d)
+    v_flat = v_cache.reshape(L * nb * bs, h, d)
+    k_flat = k_flat.at[rows].set(k_all.reshape(-1, h, d), mode="drop")
+    v_flat = v_flat.at[rows].set(v_all.reshape(-1, h, d), mode="drop")
+    return (
+        k_flat.reshape(L, nb, bs, h, d),
+        v_flat.reshape(L, nb, bs, h, d),
+    )
+
+
 def paged_attention(
     q: jax.Array,  # [B, T, Hq, D]
     k_cache: jax.Array,  # [NUM_BLOCKS, BLOCK, Hkv, D]
@@ -152,16 +217,31 @@ def _attention_gathered(
     meta: AttentionMetadata,
     scale: float,
     kv_scale: float = 1.0,
+    k_tail: jax.Array | None = None,  # [B, T, Hkv, D] cache dtype —
+    v_tail: jax.Array | None = None,  # this step's not-yet-committed KV
 ) -> jax.Array:
     """Position-causal masked attention over gathered KV.
 
     Query token (b, t) attends to cache index j (within the sequence's block
     table, laid out contiguously) iff j <= positions[b, t] and j < kv_lens[b].
     Padding query rows (positions == -1) see an empty mask and produce zeros.
+
+    Deferred-commit mode (k_tail/v_tail given): the cache does not yet hold
+    this step's T tokens; splice them in at columns kv_len-T+t — the exact
+    values a write-then-read would see (caller pre-encodes via encode_kv).
     """
     B, T, Hq, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     G = Hq // Hkv
+
+    if k_tail is not None:
+        # place tail rows at their absolute positions; padding rows
+        # (kv_len 0 -> negative col) remap to S (out of bounds, dropped)
+        cols = meta.kv_lens[:, None] - T + jnp.arange(T, dtype=jnp.int32)
+        cols = jnp.where(cols < 0, S, cols)  # [B, T]
+        bb = jnp.arange(B, dtype=jnp.int32)[:, None]
+        k = k.at[bb, cols].set(k_tail.astype(k.dtype), mode="drop")
+        v = v.at[bb, cols].set(v_tail.astype(v.dtype), mode="drop")
 
     if k.dtype == quant_ops.FP8_DTYPE:
         k = quant_ops.kv_from_fp8(k, kv_scale, jnp.float32)
@@ -216,7 +296,7 @@ def attention(
     elsewhere."""
     if _PALLAS_PAGED_ATTENTION is not None:
         return _PALLAS_PAGED_ATTENTION(
-            q, k_cache, v_cache, None, meta, scale, kv_scale
+            q, k_cache, v_cache, None, meta, scale, kv_scale, None, None
         )
     return paged_attention(q, k_cache, v_cache, meta, scale, kv_scale)
 
@@ -243,13 +323,18 @@ def attention_at_layer(
     scale: float,
     kv_scale: float = 1.0,
     backend: str = "pallas",
+    k_new: jax.Array | None = None,  # [B, T, Hkv, D] cache dtype:
+    v_new: jax.Array | None = None,  # deferred-commit VMEM tail
 ) -> jax.Array:
     """Attention against layer `layer` of the full cache (the layer-scan
     carry form). The Pallas kernel indexes the layer inside its DMAs; the
-    XLA path slices the layer out first."""
+    XLA path slices the layer out first. With k_new/v_new the cache does
+    NOT yet contain this step's tokens (deferred commit,
+    write_kv_all_layers) — they enter as a VMEM tail instead."""
     if backend != "xla" and _PALLAS_PAGED_ATTENTION is not None:
         return _PALLAS_PAGED_ATTENTION(
-            q, k_cache, v_cache, layer, meta, scale, kv_scale
+            q, k_cache, v_cache, layer, meta, scale, kv_scale,
+            k_new, v_new,
         )
     # single fused gather (layer, block) — materializing the layer slice
     # first would copy the whole layer (hundreds of MB) every call
@@ -258,4 +343,5 @@ def attention_at_layer(
     S = meta.block_tables.shape[1] * BS
     k = k_cache[layer, meta.block_tables].reshape(B, S, Hkv, D)
     v = v_cache[layer, meta.block_tables].reshape(B, S, Hkv, D)
-    return _attention_gathered(q, k, v, meta, scale, kv_scale)
+    return _attention_gathered(q, k, v, meta, scale, kv_scale,
+                               k_tail=k_new, v_tail=v_new)

@@ -93,17 +93,9 @@ def _kernel(
     bt_ref,  # [B, NBMAX] int32 block tables (SMEM)
     kvlen_ref,  # [B] int32 (SMEM)
     layer_ref,  # [1] int32 (SMEM) — layer index into a full 5-D cache
-    # inputs
-    q_ref,  # [BQ, Hkv, GTP, D] VMEM
-    k_hbm,  # [NB, BS, Hkv, D] or [L, NB, BS, Hkv, D] HBM
-    v_hbm,
-    # outputs
-    out_ref,  # [BQ, Hkv, GTP, D] VMEM
-    # scratch
-    kbuf,  # [2, BQ, CHUNK_T, Hkv, D] VMEM (cache dtype)
-    vbuf,
-    sem,  # DMA sems [2, 2, BQ, CHUNK_BLOCKS]
-    *,
+    # inputs: q_ref, k_hbm, v_hbm [, knew_ref, vnew_ref (tail mode)]
+    # then outputs/scratch: out_ref, kbuf, vbuf, sem
+    *refs,
     T: int,
     BS: int,
     CHUNK_BLOCKS: int,
@@ -115,7 +107,16 @@ def _kernel(
     full_cache: bool,
     flat: bool,
     nslots: int,
+    tail: bool = False,
 ):
+    if tail:
+        # deferred-commit mode: the cache holds only kv_len - T committed
+        # tokens; this step's T tokens arrive as VMEM inputs (cache dtype)
+        (q_ref, k_hbm, v_hbm, knew_ref, vnew_ref,
+         out_ref, kbuf, vbuf, sem) = refs
+    else:
+        q_ref, k_hbm, v_hbm, out_ref, kbuf, vbuf, sem = refs
+        knew_ref = vnew_ref = None
     g = pl.program_id(0)
     CHUNK_T = CHUNK_BLOCKS * BS
     Hkv, GTP, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
@@ -132,7 +133,14 @@ def _kernel(
 
     @pl.when(max_len > 0)
     def _():
-        num_chunks = pl.cdiv(max_len, CHUNK_T)
+        if tail:
+            # HBM covers only the committed prefix (kv_len - T per seq)
+            max_cm = jnp.maximum(kv_lens[0] - T, 0)
+            for sq in range(1, BQ):
+                max_cm = jnp.maximum(max_cm, jnp.maximum(kv_lens[sq] - T, 0))
+            num_chunks = pl.cdiv(max_cm, CHUNK_T)
+        else:
+            num_chunks = pl.cdiv(max_len, CHUNK_T)
 
         def src(hbm, bid):
             # whole-block copy [BS, Hkv, D]: slices only the major dim,
@@ -248,7 +256,12 @@ def _kernel(
             ) * scale
 
             jg = c * CHUNK_T + col
-            mask = (jg < kvl) & (jg <= kvl - T + row_t)
+            if tail:
+                # committed region only — causal is implied (jg < kvl-T
+                # <= kvl-T+row_t for every query row)
+                mask = jg < kvl - T
+            else:
+                mask = (jg < kvl) & (jg <= kvl - T + row_t)
             s = jnp.where(mask, s, NEG_INF)
 
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -278,6 +291,73 @@ def _kernel(
         l0 = jnp.zeros((BQ, Hkv, GTP, 1), jnp.float32)
         acc0 = jnp.zeros((BQ, Hkv, GTP, D), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, acc0))
+
+        if tail:
+            # this step's T tokens as one in-VMEM pseudo-chunk: query row
+            # (g*T+t) attends tail column tt iff tt <= t (absolute
+            # position kvl-T+tt <= kvl-T+t), rows of empty seqs masked.
+            # ONE folded block-diagonal dot pair for the whole program
+            # (2*Hkv*BQ tiny per-head dots measurably slowed the engine
+            # — same finding as the _kernel_fold GQA trick): flatten q
+            # rows over (seq, head, g*T+t) and tail rows over
+            # (seq, t, head); the cross terms are masked out before the
+            # softmax statistics.
+            if fp8:
+                kt = _fp8_bits_to_f32(knew_ref[...])  # [BQ, T, Hkv, D]
+                vt = _fp8_bits_to_f32(vnew_ref[...])
+            else:
+                kt = knew_ref[...].astype(jnp.float32)
+                vt = vnew_ref[...].astype(jnp.float32)
+            if deq:
+                kt = kt * kv_scale
+                vt = vt * kv_scale
+            q = q_ref[...].astype(jnp.float32)
+            RQ = Hkv * GTP  # per-seq query rows (head, g*T+t)
+            CT = T * Hkv    # per-seq tail cols  (t, head)
+            # per-seq masks are seq-independent (kv_len only gates the
+            # whole row) — build once
+            row = jax.lax.broadcasted_iota(jnp.int32, (RQ, CT), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (RQ, CT), 1)
+            row_h = row // GTP
+            row_tt = (row % GTP) % T
+            col_tt = col // Hkv
+            col_h = col % Hkv
+            base_mask = (row_h == col_h) & (col_tt <= row_tt)
+            s_t = jnp.stack(
+                [
+                    jax.lax.dot_general(
+                        q[sq].reshape(RQ, D), kt[sq].reshape(CT, D),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for sq in range(BQ)
+                ]
+            ) * scale  # [BQ, RQ, CT]
+            mask_t = jnp.stack(
+                [base_mask & (kv_lens[sq] > 0) for sq in range(BQ)]
+            )
+            s_t = jnp.where(mask_t, s_t, NEG_INF)
+            m_r = m.reshape(BQ, RQ, 1)
+            l_r = l.reshape(BQ, RQ, 1)
+            acc_r = acc.reshape(BQ, RQ, D)
+            m_new = jnp.maximum(m_r, jnp.max(s_t, axis=-1, keepdims=True))
+            p_t = jnp.where(mask_t, jnp.exp(s_t - m_new), 0.0)
+            alpha = jnp.exp(m_r - m_new)
+            l_r = l_r * alpha + jnp.sum(p_t, axis=-1, keepdims=True)
+            pv_t = jnp.stack(
+                [
+                    jax.lax.dot_general(
+                        p_t[sq], vt[sq].reshape(CT, D),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for sq in range(BQ)
+                ]
+            )
+            acc_r = acc_r * alpha + pv_t
+            l = l_r.reshape(BQ, Hkv, GTP, 1)
+            acc = acc_r.reshape(BQ, Hkv, GTP, D)
+
         out = acc / jnp.maximum(l, 1e-30)
         out_ref[...] = out.astype(out_ref.dtype)
 
@@ -496,6 +576,8 @@ def paged_attention_pallas(
     flat_kv: bool | None = None,
     num_slots: int | None = None,  # KV scratch pipeline depth
     gqa_fold: bool | None = None,  # one-dot-per-seq GQA folding
+    k_new: jax.Array | None = None,  # [B, T, Hkv, D] CACHE dtype —
+    v_new: jax.Array | None = None,  # deferred-commit VMEM tail
 ) -> jax.Array:
     B, T, Hq, D = q.shape
     full_cache = k_cache.ndim == 5
@@ -513,8 +595,15 @@ def paged_attention_pallas(
         kv_scale = quant_ops.kv8_dequant_factor(kv_scale)
     if fp8:  # bit-placement dequant reads values scaled by 2^-120
         kv_scale = kv_scale * FP8_BIAS_FIX
+    tail = k_new is not None
+    if tail:
+        assert k_new.dtype == k_cache.dtype, (k_new.dtype, k_cache.dtype)
     if gqa_fold is None:
         gqa_fold = GQA_FOLD_DEFAULT
+    if gqa_fold and tail:
+        # tail mode is implemented in the per-head kernel only; the fold
+        # variant is an env A/B (VOT_ATTN_FOLD) and falls back here
+        gqa_fold = False
     if flat_kv is None:
         flat_kv = FLAT_KV_DEFAULT and not gqa_fold
     if gqa_fold:
@@ -569,6 +658,10 @@ def paged_attention_pallas(
         q = jnp.pad(q, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
         block_tables = jnp.pad(block_tables, ((0, pad_b), (0, 0)))
         kv_lens = jnp.pad(kv_lens, ((0, pad_b),))
+        if tail:
+            pad4 = ((0, pad_b), (0, 0), (0, 0), (0, 0))
+            k_new = jnp.pad(k_new, pad4)
+            v_new = jnp.pad(v_new, pad4)
     BP = B + pad_b
 
     # [BP, T, Hkv, G, D] -> [BP, Hkv, G, T, D] -> [BP, Hkv, GT, D], pad rows
@@ -614,20 +707,33 @@ def paged_attention_pallas(
             full_cache=full_cache,
             flat=flat_kv,
             nslots=S,
+            tail=tail,
         )
         io_block = (BQ, Hkv, GTP, D)
         kv_scratch_dims = (
             (CHUNK_T, Hkv * D) if flat_kv else (CHUNK_T, Hkv, D)
         )
         io_index = lambda g, *_: (g, 0, 0, 0)
+    in_specs = [
+        pl.BlockSpec(io_block, io_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    operands = [block_tables, kv_lens, layer_arr, qr, k_cache, v_cache]
+    if tail:
+        in_specs.append(pl.BlockSpec(
+            (BQ, T, Hkv, D), lambda g, *_: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        in_specs.append(pl.BlockSpec(
+            (BQ, T, Hkv, D), lambda g, *_: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.extend([k_new, v_new])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(BP // BQ,),
-        in_specs=[
-            pl.BlockSpec(io_block, io_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             io_block, io_index, memory_space=pltpu.VMEM,
         ),
@@ -647,7 +753,7 @@ def paged_attention_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
-    )(block_tables, kv_lens, layer_arr, qr, k_cache, v_cache)
+    )(*operands)
 
     if gqa_fold:
         out = out.reshape(BP, Hkv, GTP, D)
@@ -954,11 +1060,32 @@ MAX_KERNEL_QLEN = 16
 
 def paged_attention_dispatch(q, k_cache, v_cache, layer,
                              meta: AttentionMetadata, scale: float,
-                             kv_scale: float = 1.0):
+                             kv_scale: float = 1.0,
+                             k_new=None, v_new=None):
     """Dispatch adapter for ops.attention.{attention,attention_at_layer}.
     `layer` is None for a per-layer 4-D cache, a traced scalar for the
-    full 5-D cache."""
+    full 5-D cache. k_new/v_new (cache dtype) is the deferred-commit
+    VMEM tail — only the short-query decode/verify kernel supports it
+    (the deferred forward is decode-side by construction)."""
     T = q.shape[1]
+    if k_new is not None and (T > MAX_KERNEL_QLEN or q.shape[-1] % 128 != 0):
+        from vllm_omni_draft_tpu.ops.attention import (
+            _attention_gathered as _xla_gathered,
+        )
+
+        B = q.shape[0]
+        if k_cache.ndim == 5:
+            BS, Hkv, D = k_cache.shape[2], k_cache.shape[3], k_cache.shape[4]
+            S = meta.block_tables.shape[1] * BS
+            k = k_cache[layer, meta.block_tables].reshape(B, S, Hkv, D)
+            v = v_cache[layer, meta.block_tables].reshape(B, S, Hkv, D)
+        else:
+            BS, Hkv, D = k_cache.shape[1], k_cache.shape[2], k_cache.shape[3]
+            S = meta.block_tables.shape[1] * BS
+            k = k_cache[meta.block_tables].reshape(B, S, Hkv, D)
+            v = v_cache[meta.block_tables].reshape(B, S, Hkv, D)
+        return _xla_gathered(q, k, v, meta, scale, kv_scale,
+                             k_tail=k_new, v_tail=v_new)
     # the kernel's block DMAs require lane-aligned head_dim (Mosaic tiling);
     # small-head models (drafts) take the XLA path — they're cheap anyway
     if T > MAX_KERNEL_QLEN and q.shape[-1] % 128 == 0:
@@ -994,5 +1121,5 @@ def paged_attention_dispatch(q, k_cache, v_cache, layer,
         return xla_ref(q, k_cache, v_cache, meta, scale, kv_scale)
     return paged_attention_pallas(
         q, k_cache, v_cache, meta.block_tables, meta.kv_lens, scale, kv_scale,
-        layer=layer,
+        layer=layer, k_new=k_new, v_new=v_new,
     )
