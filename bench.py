@@ -55,6 +55,11 @@ def main():
     sampled = os.environ.get("VOT_BENCH_SAMPLED", "0") == "1"
     max_model_len = int(os.environ.get("VOT_BENCH_MODEL_LEN", "1024"))
     fuse = os.environ.get("VOT_BENCH_FUSE", "0") == "1"
+    # the DRAFT's linears are launch-bound at its tiny shapes (the
+    # round-3 deep profile prices its kernel pool at ~12 ms/step), so
+    # qkv/gate_up fusion defaults ON for the draft even though it was a
+    # wash for the target's int4 shapes; VOT_BENCH_FUSE_DRAFT=0 to A/B
+    dfuse = os.environ.get("VOT_BENCH_FUSE_DRAFT", "1") == "1"
 
     target = ModelConfig(
         vocab_size=151_936,
@@ -86,7 +91,14 @@ def main():
             max_model_len=max_model_len,
             dtype="bfloat16",
             quantization=dquant,
-            fuse_projections=fuse,
+            # NOTE: 1-byte draft KV (int8/fp8) is blocked by Mosaic
+            # tiling — the draft's Hkv=2 sublane dim is below int8's
+            # 4-sublane tile and the whole-block DMA slice fails to
+            # compile ("Slice shape along dimension 3 must be aligned
+            # to tiling (4), but is 2"); needs the flat (Hkv*D) cache
+            # layout first. Knob kept for A/B once that lands.
+            kv_cache_dtype=os.environ.get("VOT_BENCH_DRAFT_KV", "bfloat16"),
+            fuse_projections=dfuse,
         )
         dv = int(os.environ.get("VOT_BENCH_DRAFT_VOCAB", "16384")) or None
         spec = SpeculativeConfig(
