@@ -741,9 +741,6 @@ class ModelRunner:
                 ).reshape(B, K + 1)
                 out_toks, num_emitted = rejection_greedy(draft_toks, tgt_argmax)
             else:
-                logits = self.target_mod.compute_logits(
-                    cfg, params_t, hidden.reshape(B * (K + 1), -1)
-                )
                 V = cfg.vocab_size
                 q_probs = jnp.concatenate(
                     [q0[:, None, :], jnp.swapaxes(q_rest, 0, 1)], axis=1
@@ -752,13 +749,23 @@ class ModelRunner:
                     # gather-based path: accept probs via per-id gathers,
                     # full distribution only at the ONE first-rejection
                     # row — the [B, K+1, V] f32 probs tensor (~100 MB at
-                    # 7B) is never materialized
+                    # 7B) is never materialized. Row max/argmax come
+                    # fused from the lm_head kernel epilogue (two fewer
+                    # full-width [B*(K+1), V] reductions per iter).
+                    logits, r_mx, r_am = self.target_mod.compute_logits_stats(
+                        cfg, params_t, hidden.reshape(B * (K + 1), -1)
+                    )
                     out_toks, num_emitted = rejection_sample_sparse(
                         draft_toks, q_probs, logits.reshape(B, K + 1, V),
                         temps, top_ks, top_ps,
                         jax.random.fold_in(key_i, 999),
+                        row_max=r_mx.reshape(B, K + 1),
+                        row_argmax=r_am.reshape(B, K + 1),
                     )
                 else:
+                    logits = self.target_mod.compute_logits(
+                        cfg, params_t, hidden.reshape(B * (K + 1), -1)
+                    )
                     p_probs = compute_probs(
                         logits,
                         jnp.repeat(temps, K + 1),

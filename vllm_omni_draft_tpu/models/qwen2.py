@@ -309,6 +309,20 @@ def compute_logits(cfg: ModelConfig, params: dict, hidden: jax.Array) -> jax.Arr
     return logits[..., : cfg.vocab_size]
 
 
+def compute_logits_stats(cfg: ModelConfig, params: dict, hidden: jax.Array):
+    """Sampled-verify head: (logits [N, V] f32, row max [N], row argmax
+    [N]) with the stats fused into the matmul kernel epilogue on TPU
+    (ops.quant.logits_stats_matmul) — saves two full-width [N, V]
+    reductions per spec iteration. Stats are over the RAW logits; the
+    rejection sampler derives scaled stats exactly (f32 division is
+    monotone, so max commutes; argmax is scale-invariant)."""
+    head = params["lm_head"] if "lm_head" in params else {"w": params["embed"]}
+    logits, mx, am = quant_ops.logits_stats_matmul(
+        hidden, head, cfg.vocab_size
+    )
+    return logits[..., : cfg.vocab_size], mx, am
+
+
 def compute_argmax(cfg: ModelConfig, params: dict, hidden: jax.Array) -> jax.Array:
     """Greedy head: argmax token ids [N] int32 without materializing the
     [N, V] f32 logits (fused matmul+argmax kernel on TPU; the pad rows of

@@ -164,6 +164,42 @@ def matmul_int4(x: jax.Array, packed: jax.Array, s: jax.Array) -> jax.Array:
     return x @ w.T
 
 
+_PALLAS_LOGITS_STATS_INT8 = None
+_PALLAS_LOGITS_STATS_INT4 = None
+
+
+def use_pallas_logits_stats_kernels(int8_fn, int4_fn) -> None:
+    global _PALLAS_LOGITS_STATS_INT8, _PALLAS_LOGITS_STATS_INT4
+    _PALLAS_LOGITS_STATS_INT8 = int8_fn
+    _PALLAS_LOGITS_STATS_INT4 = int4_fn
+
+
+def logits_stats_matmul(x: jax.Array, w: dict, valid_o: int):
+    """Sampled-verify lm_head: (logits [.., O] f32, row max [..] f32,
+    row argmax [..] int32) over the first `valid_o` output rows, with
+    max/argmax fused into the matmul kernel's epilogue on TPU — the
+    sampled path otherwise pays two separate full-width [B, V]
+    reductions on the materialized logits. Values are bit-identical to
+    computing them from the returned logits (same f32 accumulator)."""
+    kind = weight_kind(w)
+    if kind == "int4" and _PALLAS_LOGITS_STATS_INT4 is not None and x.ndim == 2:
+        return _PALLAS_LOGITS_STATS_INT4(x, w["w"], w["s"], valid_o)
+    if kind == "int8" and _PALLAS_LOGITS_STATS_INT8 is not None and x.ndim == 2:
+        return _PALLAS_LOGITS_STATS_INT8(x, w["w"], w["s"], valid_o)
+    if kind == "int8":
+        y = matmul_int8(x, w["w"], w["s"])
+    elif kind == "int4":
+        y = matmul_int4(x, w["w"], w["s"])
+    else:
+        y = jax.lax.dot_general(
+            x, w["w"].astype(x.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    y = y.astype(jnp.float32)
+    yv = y[..., :valid_o]
+    return y, jnp.max(yv, axis=-1), jnp.argmax(yv, axis=-1).astype(jnp.int32)
+
+
 def argmax_matmul(x: jax.Array, w: dict, valid_o: int) -> jax.Array:
     """Greedy lm_head: argmax over the first `valid_o` output rows of
     x @ W^T, [B, I] -> [B] int32 — fused into the quantized-matmul kernel

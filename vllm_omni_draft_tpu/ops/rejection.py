@@ -131,6 +131,8 @@ def rejection_sample_sparse(
     top_ks: jax.Array,  # [B] int32
     top_ps: jax.Array,  # [B] f32
     key: jax.Array,
+    row_max: jax.Array | None = None,  # [B, K+1] raw-logit row max —
+    row_argmax: jax.Array | None = None,  # fused lm_head stats
 ) -> tuple[jax.Array, jax.Array]:
     """Gather-based lossless rejection sampling STRAIGHT FROM LOGITS.
 
@@ -168,14 +170,24 @@ def rejection_sample_sparse(
     kth, tau, _ = topk_topp_thresholds(
         lx, jnp.repeat(top_ks, K + 1), jnp.repeat(top_ps, K + 1)
     )
-    # f32 row stats for the prob law (matching softmax over the kept set)
-    mx32 = jnp.max(scaled, axis=-1)  # [R]
+    # f32 row stats for the prob law (matching softmax over the kept set).
+    # Fused lm_head stats are over RAW logits: dividing the raw max by
+    # the (positive) temperature gives max(scaled) EXACTLY — IEEE f32
+    # division is monotone, so max commutes with it — and argmax is
+    # scale-invariant (the dense path also argmaxes raw lg32).
+    if row_max is not None:
+        mx32 = row_max.reshape(R) / jnp.repeat(safe_t, K + 1)
+    else:
+        mx32 = jnp.max(scaled, axis=-1)  # [R]
     keep = keep_mask(lx, kth, tau, mx32.astype(jnp.bfloat16))
     denom = jnp.sum(
         jnp.where(keep, jnp.exp(scaled - mx32[:, None]), 0.0),
         axis=-1,
     )  # [R] — fused reduction, no [R, V] f32 materialization
-    argmax = jnp.argmax(lg32, axis=-1).astype(jnp.int32)  # [R]
+    if row_argmax is not None:
+        argmax = row_argmax.reshape(R).astype(jnp.int32)
+    else:
+        argmax = jnp.argmax(lg32, axis=-1).astype(jnp.int32)  # [R]
 
     def resh(x):
         return x.reshape(B, K + 1)
