@@ -150,6 +150,11 @@ def _kernel(
             return hbm.at[bid]
 
         def start_load(c, slot):
+            # all CHUNK_BLOCKS same-size block copies of one (slot, k/v,
+            # seq) share ONE counting DMA semaphore: sflag memory is
+            # ~2 KB total and a per-(slot,kv,seq,chunk) array was the
+            # round-4 "Ran out of memory in memory space sflag" compile
+            # error at block-16 shapes (S*2*BQ*8 = 512 sems)
             base = c * CHUNK_BLOCKS
             for sq in range(BQ):
                 for i in range(CHUNK_BLOCKS):
@@ -157,12 +162,12 @@ def _kernel(
                     pltpu.make_async_copy(
                         src(k_hbm, bid),
                         kbuf.at[slot, sq, pl.ds(i * BS, BS)],
-                        sem.at[slot, 0, sq, i],
+                        sem.at[slot, 0, sq],
                     ).start()
                     pltpu.make_async_copy(
                         src(v_hbm, bid),
                         vbuf.at[slot, sq, pl.ds(i * BS, BS)],
-                        sem.at[slot, 1, sq, i],
+                        sem.at[slot, 1, sq],
                     ).start()
 
         def wait_load(c, slot):
@@ -173,12 +178,12 @@ def _kernel(
                     pltpu.make_async_copy(
                         src(k_hbm, bid),
                         kbuf.at[slot, sq, pl.ds(i * BS, BS)],
-                        sem.at[slot, 0, sq, i],
+                        sem.at[slot, 0, sq],
                     ).wait()
                     pltpu.make_async_copy(
                         src(v_hbm, bid),
                         vbuf.at[slot, sq, pl.ds(i * BS, BS)],
-                        sem.at[slot, 1, sq, i],
+                        sem.at[slot, 1, sq],
                     ).wait()
 
         # software pipeline: keep nslots-1 chunk loads in flight. The
@@ -438,12 +443,12 @@ def _kernel_fold(
                     pltpu.make_async_copy(
                         src(k_hbm, bid),
                         kbuf.at[slot, sq, pl.ds(i * BSH, BSH)],
-                        sem.at[slot, 0, sq, i],
+                        sem.at[slot, 0, sq],
                     ).start()
                     pltpu.make_async_copy(
                         src(v_hbm, bid),
                         vbuf.at[slot, sq, pl.ds(i * BSH, BSH)],
-                        sem.at[slot, 1, sq, i],
+                        sem.at[slot, 1, sq],
                     ).start()
 
         def wait_load(c, slot):
@@ -454,12 +459,12 @@ def _kernel_fold(
                     pltpu.make_async_copy(
                         src(k_hbm, bid),
                         kbuf.at[slot, sq, pl.ds(i * BSH, BSH)],
-                        sem.at[slot, 0, sq, i],
+                        sem.at[slot, 0, sq],
                     ).wait()
                     pltpu.make_async_copy(
                         src(v_hbm, bid),
                         vbuf.at[slot, sq, pl.ds(i * BSH, BSH)],
-                        sem.at[slot, 1, sq, i],
+                        sem.at[slot, 1, sq],
                     ).wait()
 
         for c0 in range(nslots - 1):
@@ -740,7 +745,7 @@ def paged_attention_pallas(
         scratch_shapes=[
             pltpu.VMEM((S, BQ, *kv_scratch_dims), k_cache.dtype),
             pltpu.VMEM((S, BQ, *kv_scratch_dims), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((S, 2, BQ, chunk_blocks)),
+            pltpu.SemaphoreType.DMA((S, 2, BQ)),
         ],
     )
     out_shape = (
@@ -833,11 +838,11 @@ def _prefill_kernel(
                 bid = bt_ref[0, base + i]
                 pltpu.make_async_copy(
                     src(k_hbm, bid), kbuf.at[slot, pl.ds(i * BS, BS)],
-                    sem.at[slot, 0, i],
+                    sem.at[slot, 0],
                 ).start()
                 pltpu.make_async_copy(
                     src(v_hbm, bid), vbuf.at[slot, pl.ds(i * BS, BS)],
-                    sem.at[slot, 1, i],
+                    sem.at[slot, 1],
                 ).start()
 
         def wait_load(c, slot):
@@ -846,11 +851,11 @@ def _prefill_kernel(
                 bid = bt_ref[0, base + i]
                 pltpu.make_async_copy(
                     src(k_hbm, bid), kbuf.at[slot, pl.ds(i * BS, BS)],
-                    sem.at[slot, 0, i],
+                    sem.at[slot, 0],
                 ).wait()
                 pltpu.make_async_copy(
                     src(v_hbm, bid), vbuf.at[slot, pl.ds(i * BS, BS)],
-                    sem.at[slot, 1, i],
+                    sem.at[slot, 1],
                 ).wait()
 
         for c0 in range(nslots - 1):  # pipeline prologue (see decode)
@@ -1025,7 +1030,7 @@ def paged_prefill_pallas(
         scratch_shapes=[
             pltpu.VMEM((S, *kv_scratch_dims), k_cache.dtype),
             pltpu.VMEM((S, *kv_scratch_dims), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((S, 2, chunk_blocks)),
+            pltpu.SemaphoreType.DMA((S, 2)),
         ],
     )
     out = pl.pallas_call(
