@@ -81,12 +81,13 @@ def install(enable_attention: bool = True, enable_quant: bool = True,
             None if int4 is None else argmax_matmul_int4_pallas,
             argmax_matmul_dense_pallas,
         )
-        from vllm_omni_draft_tpu.ops.pallas.quant_matmul import (
-            logits_stats_matmul_int4_pallas,
-            logits_stats_matmul_int8_pallas,
-        )
+        if os.environ.get("VOT_DISABLE_LOGITS_STATS") != "1":
+            from vllm_omni_draft_tpu.ops.pallas.quant_matmul import (
+                logits_stats_matmul_int4_pallas,
+                logits_stats_matmul_int8_pallas,
+            )
 
-        quant.use_pallas_logits_stats_kernels(
-            logits_stats_matmul_int8_pallas,
-            None if int4 is None else logits_stats_matmul_int4_pallas,
-        )
+            quant.use_pallas_logits_stats_kernels(
+                logits_stats_matmul_int8_pallas,
+                None if int4 is None else logits_stats_matmul_int4_pallas,
+            )
