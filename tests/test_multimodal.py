@@ -146,3 +146,31 @@ def test_end_to_end_with_real_encoder():
     out = llm.generate([prompt], [_greedy(5)],
                        mm_inputs=[_mm(embeds, "real")])[0]
     assert len(out.outputs[0].token_ids) == 5
+
+
+def test_mm_batched_prefill_matches_sequential():
+    """Round-4 batched mm prefill: N image prompts admitted in ONE step
+    must emit exactly the tokens of one-at-a-time admission (the
+    batched program is token-identical to the per-request path)."""
+    prompts, mms = [], []
+    rng = np.random.default_rng(7)
+    llm_probe = LLM(_config())
+    D = llm_probe.engine.config.model.hidden_size
+    for i in range(4):
+        prompt = build_mm_prompt(
+            [1 + i, 2, 3], 4, [9, 10 + i], image_pad_id=IMG_TOKEN
+        )
+        prompts.append(prompt)
+        mms.append(_mm(rng.normal(size=(4, D)), f"bm{i}"))
+
+    # sequential: tiny token budget admits one mm prefill per step
+    seq_llm = LLM(_config(max_num_batched_tokens=16))
+    seq = [
+        seq_llm.generate([p], [_greedy(8)], mm_inputs=[m])[0]
+        for p, m in zip(prompts, mms)
+    ]
+    # batched: all four admit in one step -> one grouped mm program
+    bat_llm = LLM(_config(max_num_batched_tokens=256))
+    bat = bat_llm.generate(prompts, [_greedy(8)] * 4, mm_inputs=mms)
+    for s, b in zip(seq, bat):
+        assert s.outputs[0].token_ids == b.outputs[0].token_ids

@@ -415,6 +415,41 @@ class ModelRunner:
 
         self._prefill_mm_fn = jit(prefill_mm, donate_argnums=(1,))
 
+        def prefill_mm_batch(params, kv, tokens, start_pos, num_real,
+                             block_tables, mm_embeds, mm_mask):
+            """Batched multimodal prefill: N mm prompt chunks in ONE
+            program (the text prefill_batch with a per-row embedding
+            splice). Round-4: the per-request mm path measured ~1.2k
+            tok/s on chip vs 10.3k for batched text prefill — same
+            weights-stream-once economics apply. tokens [N, T];
+            mm_embeds [N, T, D]; mm_mask [N, T]."""
+            N, T = tokens.shape
+            idx = jnp.arange(T, dtype=jnp.int32)
+            real = idx[None, :] < num_real[:, None]
+            positions = jnp.where(real, start_pos[:, None] + idx[None, :], -1)
+            meta = AttentionMetadata(
+                block_tables=block_tables,
+                kv_lens=jnp.where(num_real > 0, start_pos + num_real, 0),
+                positions=positions,
+                slot_mapping=_slots_from_positions(
+                    block_tables, positions, bs
+                ),
+            )
+            x = params["embed"][jnp.maximum(tokens, 0)]
+            x = jnp.where(mm_mask[:, :, None], mm_embeds.astype(x.dtype), x)
+            hidden, kv = self.target_fwd(
+                params, tokens, positions, kv, meta, input_embeds=x
+            )
+            rows = jnp.take_along_axis(
+                hidden,
+                jnp.maximum(num_real - 1, 0)[:, None, None],
+                axis=1,
+            )[:, 0]
+            logits = self.target_mod.compute_logits(cfg, params, rows)
+            return logits, kv
+
+        self._prefill_mm_batch_fn = jit(prefill_mm_batch, donate_argnums=(1,))
+
         if self.draft_cfg is not None:
             dcfg = self.draft_cfg
 
@@ -1223,6 +1258,109 @@ class ModelRunner:
                     first_tok_parts.append(
                         (toks_dev, [(n, req) for n, req, _ in samp_rows])
                     )
+
+        # multimodal chunks (without prompt-logprobs) group per bucket
+        # exactly like plain text prefill — the per-request mm path
+        # measured ~1.2k tok/s on chip vs 10.3k batched text (round 4);
+        # the embedding splice is per-row and batches trivially.
+        mm_only = [
+            sp for sp in special
+            if sp.request.mm_inputs is not None
+            and sp.request.sampling_params.prompt_logprobs is None
+        ]
+        if len(mm_only) >= 2:
+            special = [sp for sp in special if sp not in mm_only]
+            mm_buckets: dict = _dd(list)
+            for sp in mm_only:
+                mm_buckets[self._prefill_bucket(sp.chunk_len)].append(sp)
+            for T, sps in mm_buckets.items():
+                cap = max(1, min(8, 2048 // T))
+                pos = 0
+                while pos < len(sps):
+                    rem = len(sps) - pos
+                    N = 1
+                    while N * 2 <= min(cap, rem):
+                        N *= 2
+                    group = sps[pos : pos + N]
+                    pos += N
+                    if N == 1:
+                        special.append(group[0])  # singleton: existing path
+                        continue
+                    tokens = np.zeros((N, T), np.int32)
+                    start_pos = np.zeros((N,), np.int32)
+                    num_real = np.zeros((N,), np.int32)
+                    bts = np.zeros((N, self.block_tables.shape[1]), np.int32)
+                    mm_e = []
+                    mm_m = []
+                    for n, sp in enumerate(group):
+                        req = sp.request
+                        tokens[n, : sp.chunk_len] = req.all_token_ids[
+                            sp.chunk_start : sp.chunk_start + sp.chunk_len
+                        ]
+                        start_pos[n] = sp.chunk_start
+                        num_real[n] = sp.chunk_len
+                        bts[n] = self.block_tables[req.slot]
+                        e, m = self._mm_chunk(req, sp, tokens[n], T)
+                        mm_e.append(np.asarray(e))
+                        mm_m.append(np.asarray(m))
+                    logits_b, self.kv_t = self._prefill_mm_batch_fn(
+                        self.target_params,
+                        self.kv_t,
+                        jnp.asarray(tokens),
+                        jnp.asarray(start_pos),
+                        jnp.asarray(num_real),
+                        jnp.asarray(bts),
+                        jnp.asarray(np.stack(mm_e)),
+                        jnp.asarray(np.stack(mm_m)),
+                    )
+                    if self.kv_d is not None:
+                        self.kv_d = self._draft_prefill_batch_fn(
+                            self.draft_params,
+                            self.kv_d,
+                            jnp.asarray(tokens),
+                            jnp.asarray(start_pos),
+                            jnp.asarray(num_real),
+                            jnp.asarray(bts),
+                        )
+                    samp_rows = []
+                    for n, sp in enumerate(group):
+                        i = rng_i
+                        rng_i += 1
+                        req = sp.request
+                        mgr = getattr(self, "structured", None)
+                        gmask = (
+                            mgr.mask(req.request_id)
+                            if (mgr is not None and sp.is_final_chunk
+                                and sp.sample_on_final)
+                            else None
+                        )
+                        if (sp.is_final_chunk and sp.sample_on_final
+                                and gmask is None):
+                            samp_rows.append((n, req, i))
+                        else:
+                            self._after_prefill_chunk(
+                                req, sp, logits_b[n], out, key, i
+                            )
+                    if samp_rows:
+                        temps = np.zeros(N, np.float32)
+                        ks = np.zeros(N, np.int32)
+                        ps = np.ones(N, np.float32)
+                        key_idx = np.zeros(N, np.int32)
+                        for n, req, i in samp_rows:
+                            p = req.sampling_params
+                            temps[n] = p.temperature
+                            ks[n] = p.top_k
+                            ps[n] = p.top_p
+                            key_idx[n] = 1000 + i
+                        toks_dev = self._first_tokens_fn(
+                            logits_b,
+                            jnp.asarray(temps), jnp.asarray(ks),
+                            jnp.asarray(ps),
+                            self._fold_keys_fn(key, jnp.asarray(key_idx)),
+                        )
+                        first_tok_parts.append(
+                            (toks_dev, [(n, req) for n, req, _ in samp_rows])
+                        )
 
         for sp in special:
             i = rng_i
