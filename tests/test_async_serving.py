@@ -64,6 +64,47 @@ def test_async_concurrent_requests(async_llm):
     assert all(len(r.outputs[0].token_ids) == 6 for r in results)
 
 
+def test_async_generate_n3_fanout(async_llm):
+    """n>1 parent/child fan-out on the SERVING path (reference: async
+    OutputProcessor fan-out, engine_core.md:815-822): the final output
+    aggregates n distinct indexed completions."""
+    async def run():
+        sp = SamplingParams(n=3, max_tokens=8, temperature=1.0, seed=7,
+                            ignore_eos=True)
+        last = None
+        async for out in async_llm.generate("fan me out", sp):
+            last = out
+        return last
+
+    final = asyncio.run(run())
+    assert final.finished
+    assert [c.index for c in final.outputs] == [0, 1, 2]
+    seqs = [tuple(c.token_ids) for c in final.outputs]
+    assert all(len(s) == 8 for s in seqs)
+    assert len(set(seqs)) == 3, "choices should be distinct under distinct seeds"
+    assert all(c.finish_reason == "length" for c in final.outputs)
+
+
+def test_async_generate_n2_delta_stream_indices(async_llm):
+    """DELTA streaming with n=2: every chunk is labelled with its choice
+    index and both children stream to completion."""
+    async def run():
+        sp = SamplingParams(n=2, max_tokens=6, temperature=1.0, seed=3,
+                            ignore_eos=True, output_kind=OutputKind.DELTA)
+        chunks = []
+        async for out in async_llm.generate("stream two ways", sp):
+            chunks.append(out)
+        return chunks
+
+    chunks = asyncio.run(run())
+    assert chunks[-1].finished
+    per_index: dict[int, list[int]] = {0: [], 1: []}
+    for out in chunks:
+        for comp in out.outputs:
+            per_index[comp.index].extend(comp.token_ids)
+    assert len(per_index[0]) == 6 and len(per_index[1]) == 6
+
+
 def test_async_cancellation_aborts(async_llm):
     async def run():
         sp = SamplingParams(max_tokens=1000, temperature=0.0, ignore_eos=True)
@@ -113,6 +154,36 @@ def test_api_server_completions(async_llm):
     resp = asyncio.run(run())
     assert resp["choices"][0]["finish_reason"] == "length"
     assert resp["usage"]["completion_tokens"] == 5
+
+
+def test_api_server_completions_n2(async_llm):
+    """`n` in the HTTP body produces n indexed choices (previously the
+    server silently returned a single index-0 choice)."""
+    async def run():
+        from vllm_omni_draft_tpu.entrypoints.api_server import serve
+
+        srv = await serve(async_llm, host="127.0.0.1", port=0)
+        port = srv.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        body = json.dumps({"prompt": "hi there", "max_tokens": 5, "n": 2,
+                           "temperature": 1.0, "seed": 11}).encode()
+        writer.write(
+            b"POST /v1/completions HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+        await writer.drain()
+        raw = await reader.read()
+        writer.close()
+        _, _, payload = raw.partition(b"\r\n\r\n")
+        resp = json.loads(payload)
+        srv.close()
+        return resp
+
+    resp = asyncio.run(run())
+    assert [c["index"] for c in resp["choices"]] == [0, 1]
+    assert all(c["finish_reason"] == "length" for c in resp["choices"])
+    assert resp["usage"]["completion_tokens"] == 10
 
 
 def test_api_server_streaming_sse(async_llm):

@@ -14,7 +14,9 @@ process behind ZMQ (engine/ipc.py) — the reference's EngineCoreProc split.
 from __future__ import annotations
 
 import asyncio
+import dataclasses
 import itertools
+import os
 import threading
 from typing import AsyncIterator
 
@@ -105,6 +107,13 @@ class AsyncLLM:
                 self.engine.abort_requests([op[1]])
                 self.output_processor.states.pop(op[1], None)
 
+    # client-side output processing chunk size (reference:
+    # np.array_split over VLLM_V1_OUTPUT_PROC_CHUNK_SIZE,
+    # `src/doc/engine_core.md:194-195`): large step outputs are
+    # processed in chunks with an intake drain between them, so a big
+    # batch of detokenizations never starves add/abort latency
+    OUTPUT_PROC_CHUNK_SIZE = int(os.environ.get("VOT_OUTPUT_PROC_CHUNK", "128"))
+
     def _run_engine_loop(self) -> None:
         """The busy loop (reference: `_process_engine_step`,
         `engine_core.md:154-156`), idling when no work is queued."""
@@ -116,7 +125,11 @@ class AsyncLLM:
                 )
                 if has_work:
                     updated = self.engine.step_fn()
-                    self.output_processor.process_outputs(updated)
+                    chunk = self.OUTPUT_PROC_CHUNK_SIZE
+                    for i in range(0, len(updated), chunk):
+                        self.output_processor.process_outputs(updated[i:i + chunk])
+                        if i + chunk < len(updated):
+                            self._drain_intake()
             except Exception as e:  # propagate to consumers
                 self._errored = e
                 self.output_processor.propagate_error(e)
@@ -155,6 +168,10 @@ class AsyncLLM:
         ):
             sp.stop_token_ids = sp.stop_token_ids + (self.tokenizer.eos_token_id,)
         rid = request_id or f"req-{next(_req_counter)}"
+        if sp.n > 1:
+            async for out in self._generate_fanout(ids, sp, rid, mm_inputs):
+                yield out
+            return
         req = Request(request_id=rid, prompt_token_ids=ids, sampling_params=sp,
                       mm_inputs=mm_inputs)
         collector = RequestOutputCollector(asyncio.get_running_loop())
@@ -168,6 +185,76 @@ class AsyncLLM:
         except (asyncio.CancelledError, GeneratorExit):
             # consumer cancelled or closed the stream: abort in-engine
             self._submit(("abort", rid))
+            raise
+
+    async def _generate_fanout(
+        self, ids, sp, rid, mm_inputs
+    ) -> AsyncIterator[RequestOutput]:
+        """n>1 parent/child fan-out on the SERVING path (reference:
+        async OutputProcessor parent/child aggregation,
+        `src/doc/engine_core.md:815-822`). The parent fans out into n
+        child requests whose identical prompts share KV via the prefix
+        cache; every streamed chunk is re-labelled with the child's
+        choice index, and the final output (finished=True) aggregates
+        all n CompletionOutputs for non-delta consumers."""
+        from vllm_omni_draft_tpu.core.request import OutputKind
+
+        collector = RequestOutputCollector(asyncio.get_running_loop())
+        child_ids = []
+        for j in range(sp.n):
+            child_sp = dataclasses.replace(
+                sp, n=1, seed=(sp.seed + j if sp.seed is not None else None)
+            )
+            req = Request(
+                request_id=f"{rid}/{j}", prompt_token_ids=list(ids),
+                sampling_params=child_sp, mm_inputs=mm_inputs,
+            )
+            child_ids.append(req.request_id)
+            self._submit(("add", req, collector))
+        index_of = {cid: j for j, cid in enumerate(child_ids)}
+        finals: dict[int, object] = {}  # choice index -> final CompletionOutput
+        plp = None
+        cached = 0
+        try:
+            while len(finals) < sp.n:
+                out = await collector.get()
+                j = index_of[out.request_id]
+                comp = (
+                    dataclasses.replace(out.outputs[0], index=j)
+                    if out.outputs else None
+                )
+                cached = max(cached, out.num_cached_tokens)
+                if out.prompt_logprobs is not None:
+                    plp = out.prompt_logprobs
+                if out.finished:
+                    finals[j] = comp
+                if len(finals) == sp.n:
+                    if sp.output_kind == OutputKind.DELTA:
+                        # deltas already streamed; the final carries only
+                        # the last child's closing delta
+                        outs = [comp] if comp is not None else []
+                    else:
+                        outs = [finals[k] for k in sorted(finals)
+                                if finals[k] is not None]
+                    yield RequestOutput(
+                        request_id=rid,
+                        prompt_token_ids=out.prompt_token_ids,
+                        outputs=outs,
+                        finished=True,
+                        num_cached_tokens=cached,
+                        prompt_logprobs=plp,
+                    )
+                else:
+                    if sp.output_kind == OutputKind.FINAL_ONLY:
+                        continue  # only the aggregate final is emitted
+                    yield dataclasses.replace(
+                        out, request_id=rid,
+                        outputs=[comp] if comp is not None else [],
+                        finished=False,
+                    )
+        except (asyncio.CancelledError, GeneratorExit):
+            for cid in child_ids:
+                self._submit(("abort", cid))
             raise
 
     async def encode(self, prompt, pooling: str = "mean"):

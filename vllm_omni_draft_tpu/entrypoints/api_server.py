@@ -268,22 +268,23 @@ class ApiServer:
             )
             await writer.drain()
             async for out in self.llm.generate(prompt, sp, request_id=rid):
-                delta = out.outputs[0].text if out.outputs else ""
-                chunk = {
-                    "id": rid,
-                    "object": "chat.completion.chunk" if chat else "text_completion",
-                    "created": created,
-                    "model": self.model_name,
-                    "choices": [{
-                        "index": 0,
-                        **({"delta": {"content": delta}} if chat
-                           else {"text": delta}),
-                        "finish_reason": out.outputs[0].finish_reason
-                        if out.outputs else None,
-                    }],
-                }
-                writer.write(f"data: {json.dumps(chunk)}\n\n".encode())
-                await writer.drain()
+                # one SSE chunk per completion delta; with n>1 each chunk
+                # carries the choice index it belongs to
+                for comp in out.outputs or []:
+                    chunk = {
+                        "id": rid,
+                        "object": "chat.completion.chunk" if chat else "text_completion",
+                        "created": created,
+                        "model": self.model_name,
+                        "choices": [{
+                            "index": comp.index,
+                            **({"delta": {"content": comp.text}} if chat
+                               else {"text": comp.text}),
+                            "finish_reason": comp.finish_reason,
+                        }],
+                    }
+                    writer.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                    await writer.drain()
             writer.write(b"data: [DONE]\n\n")
             await writer.drain()
             return
@@ -291,29 +292,41 @@ class ApiServer:
         final = None
         async for out in self.llm.generate(prompt, sp, request_id=rid):
             final = out
-        text = final.outputs[0].text if final and final.outputs else ""
-        reason = final.outputs[0].finish_reason if final and final.outputs else None
-        n_out = len(final.outputs[0].token_ids) if final and final.outputs else 0
-        lp = final.outputs[0].logprobs if final and final.outputs else None
-        lp_field = (
-            {"token_logprobs": [
-                {str(k): v for k, v in step.items()} for step in lp
-            ]}
-            if lp
-            else {}
-        )
+        # with n>1 the final RequestOutput aggregates all n child
+        # completions (AsyncLLM parent/child fan-out); build one choice
+        # per CompletionOutput, indexed 0..n-1
+        choices = []
+        n_out = 0
+        for comp in (final.outputs if final else []) or []:
+            lp_field = (
+                {"token_logprobs": [
+                    {str(k): v for k, v in step.items()}
+                    for step in comp.logprobs
+                ]}
+                if comp.logprobs
+                else {}
+            )
+            choices.append({
+                "index": comp.index,
+                **({"message": {"role": "assistant", "content": comp.text}}
+                   if chat else {"text": comp.text}),
+                "finish_reason": comp.finish_reason,
+                **({"logprobs": lp_field} if lp_field else {}),
+            })
+            n_out += len(comp.token_ids)
+        if not choices:
+            choices = [{
+                "index": 0,
+                **({"message": {"role": "assistant", "content": ""}} if chat
+                   else {"text": ""}),
+                "finish_reason": None,
+            }]
         resp = {
             "id": rid,
             "object": "chat.completion" if chat else "text_completion",
             "created": created,
             "model": self.model_name,
-            "choices": [{
-                "index": 0,
-                **({"message": {"role": "assistant", "content": text}} if chat
-                   else {"text": text}),
-                "finish_reason": reason,
-                **({"logprobs": lp_field} if lp_field else {}),
-            }],
+            "choices": choices,
             "usage": {
                 "prompt_tokens": len(final.prompt_token_ids) if final else 0,
                 "completion_tokens": n_out,
