@@ -10,7 +10,7 @@ outputs that bypasses detokenization (`engine_core.md:800-813`).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 from vllm_omni_draft_tpu.core.request import (

@@ -1269,7 +1269,8 @@ class ModelRunner:
             and sp.request.sampling_params.prompt_logprobs is None
         ]
         if len(mm_only) >= 2:
-            special = [sp for sp in special if sp not in mm_only]
+            drop = {id(sp) for sp in mm_only}
+            special = [sp for sp in special if id(sp) not in drop]
             mm_buckets: dict = _dd(list)
             for sp in mm_only:
                 mm_buckets[self._prefill_bucket(sp.chunk_len)].append(sp)

@@ -22,7 +22,7 @@ not retokenized text, when the stage types allow it.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Sequence
 
 from vllm_omni_draft_tpu.config import (

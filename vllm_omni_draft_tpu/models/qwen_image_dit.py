@@ -39,7 +39,7 @@ this zero-egress container allows, via round-trip + shape tests):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

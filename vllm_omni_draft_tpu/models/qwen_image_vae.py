@@ -27,7 +27,7 @@ normalization. This module is the TPU-native functional form:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -338,8 +338,12 @@ def _kernel(
                     for sq in range(BQ)
                 ]
             ) * scale  # [BQ, RQ, CT]
+            # a tail col's absolute position is kv_len - T + col_tt;
+            # drop negative ones so pad positions inside an active row
+            # can never score (matches the XLA tail path; advisor r4)
             mask_t = jnp.stack(
-                [base_mask & (kv_lens[sq] > 0) for sq in range(BQ)]
+                [base_mask & (kv_lens[sq] > 0)
+                 & (kv_lens[sq] - T + col_tt >= 0) for sq in range(BQ)]
             )
             s_t = jnp.where(mask_t, s_t, NEG_INF)
             m_r = m.reshape(BQ, RQ, 1)

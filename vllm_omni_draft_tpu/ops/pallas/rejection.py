@@ -23,7 +23,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 ITERS = 16  # bisection iterations (matches ops/sampling._bisect_threshold)
 

@@ -191,9 +191,12 @@ def logits_stats_matmul(x: jax.Array, w: dict, valid_o: int):
     elif kind == "int4":
         y = matmul_int4(x, w["w"], w["s"])
     else:
+        # mirror linear()'s rounding (product in x.dtype, THEN the f32
+        # cast) so logprobs-on/off emits identical tokens on the dense
+        # fallback path too (advisor r4)
         y = jax.lax.dot_general(
             x, w["w"].astype(x.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=x.dtype,
         )
     y = y.astype(jnp.float32)
     yv = y[..., :valid_o]
