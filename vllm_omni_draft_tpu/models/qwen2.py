@@ -171,6 +171,73 @@ def init_kv_cache(
 # ---------------------------------------------------------------------------
 
 
+def make_layer_body(cfg: ModelConfig, deferred_kv: bool = False,
+                    attn_backend: str | None = None):
+    """One transformer layer as a pure function of (stacked weights,
+    rope tables, attention meta, carry, layer index) — the unit both
+    `make_forward`'s layer scan and the pipeline-parallel stage
+    executor (parallel/pipeline.py) scan over. `lw` may hold the FULL
+    [L, ...] stacks or a per-stage slice; `l` indexes into whatever
+    `lw`/the carried cache hold."""
+    Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    Dk = kv_store_dim(Dh)
+    scale = 1.0 / math.sqrt(Dh)
+    kv_scale = cfg.kv_scale
+    eps = cfg.rms_norm_eps
+    if attn_backend is None:
+        attn_backend = resolved_attention_backend(cfg)
+
+    def layer_body(lw, cos, sin, meta, carry, l):
+        x, kc, vc = carry
+        B, T, D = x.shape
+
+        h = rms_norm(x, jnp.take(lw["ln1"], l, axis=0), eps)
+        if "qkv" in lw:  # fused projection stack (fuse_projection_stacks)
+            qkv = linear_at_layer(h, lw["qkv"], l)
+            nq, nkv = Hq * Dh, Hkv * Dh
+            q = qkv[..., :nq].reshape(B, T, Hq, Dh)
+            k = qkv[..., nq:nq + nkv].reshape(B, T, Hkv, Dh)
+            v = qkv[..., nq + nkv:].reshape(B, T, Hkv, Dh)
+        else:
+            q = linear_at_layer(h, lw["q"], l).reshape(B, T, Hq, Dh)
+            k = linear_at_layer(h, lw["k"], l).reshape(B, T, Hkv, Dh)
+            v = linear_at_layer(h, lw["v"], l).reshape(B, T, Hkv, Dh)
+        q, k = apply_rope_cos_sin(q, k, cos, sin)
+        if Dk != Dh:
+            # lane-pad q/k/v so storage + kernel stay tile-aligned;
+            # zero lanes are exact (see ops.attention.kv_store_dim)
+            pad = ((0, 0), (0, 0), (0, 0), (0, Dk - Dh))
+            q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        if deferred_kv:
+            k_enc, v_enc = encode_kv(k, v, kc.dtype, kv_scale)
+            o = attention_at_layer(q, kc, vc, l, meta, scale,
+                                   kv_scale=kv_scale,
+                                   backend=attn_backend,
+                                   k_new=k_enc, v_new=v_enc)[..., :Dh]
+            ys = (k_enc, v_enc)
+        else:
+            kc, vc = write_kv_layer(kc, vc, k, v, meta.slot_mapping, l,
+                                    kv_scale=kv_scale)
+            o = attention_at_layer(q, kc, vc, l, meta, scale,
+                                   kv_scale=kv_scale,
+                                   backend=attn_backend)[..., :Dh]
+            ys = None
+        x = x + linear_at_layer(o.reshape(B, T, Hq * Dh), lw["o"], l)
+
+        h = rms_norm(x, jnp.take(lw["ln2"], l, axis=0), eps)
+        if "gate_up" in lw:
+            gu = linear_at_layer(h, lw["gate_up"], l)
+            F = gu.shape[-1] // 2
+            g, u = gu[..., :F], gu[..., F:]
+        else:
+            g = linear_at_layer(h, lw["gate"], l)
+            u = linear_at_layer(h, lw["up"], l)
+        x = x + linear_at_layer(jax.nn.silu(g) * u, lw["down"], l)
+        return (x, kc, vc), ys
+
+    return layer_body
+
+
 def make_forward(cfg: ModelConfig, deferred_kv: bool = False):
     """Build the pure forward fn:
 
@@ -192,13 +259,10 @@ def make_forward(cfg: ModelConfig, deferred_kv: bool = False):
     exactly the values a write-then-read would. Use for short-T
     decode/verify steps only (the prefill kernel has no tail path).
     """
-    Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    Dk = kv_store_dim(Dh)
-    scale = 1.0 / math.sqrt(Dh)
-    kv_scale = cfg.kv_scale
-    eps = cfg.rms_norm_eps
+    Dh = cfg.head_dim
     theta = cfg.rope_theta
-    attn_backend = resolved_attention_backend(cfg)
+    eps = cfg.rms_norm_eps
+    layer_body = make_layer_body(cfg, deferred_kv)
 
     def forward(
         params: dict,
@@ -221,52 +285,7 @@ def make_forward(cfg: ModelConfig, deferred_kv: bool = False):
         def layer_fn(carry, l):
             # KV cache rides in the CARRY (in-place-aliasable by XLA's
             # while loop); scan xs/ys would keep two full copies live.
-            x, kc, vc = carry
-            B, T, D = x.shape
-
-            h = rms_norm(x, jnp.take(lw["ln1"], l, axis=0), eps)
-            if "qkv" in lw:  # fused projection stack (fuse_projection_stacks)
-                qkv = linear_at_layer(h, lw["qkv"], l)
-                nq, nkv = Hq * Dh, Hkv * Dh
-                q = qkv[..., :nq].reshape(B, T, Hq, Dh)
-                k = qkv[..., nq:nq + nkv].reshape(B, T, Hkv, Dh)
-                v = qkv[..., nq + nkv:].reshape(B, T, Hkv, Dh)
-            else:
-                q = linear_at_layer(h, lw["q"], l).reshape(B, T, Hq, Dh)
-                k = linear_at_layer(h, lw["k"], l).reshape(B, T, Hkv, Dh)
-                v = linear_at_layer(h, lw["v"], l).reshape(B, T, Hkv, Dh)
-            q, k = apply_rope_cos_sin(q, k, cos, sin)
-            if Dk != Dh:
-                # lane-pad q/k/v so storage + kernel stay tile-aligned;
-                # zero lanes are exact (see ops.attention.kv_store_dim)
-                pad = ((0, 0), (0, 0), (0, 0), (0, Dk - Dh))
-                q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-            if deferred_kv:
-                k_enc, v_enc = encode_kv(k, v, kc.dtype, kv_scale)
-                o = attention_at_layer(q, kc, vc, l, meta, scale,
-                                       kv_scale=kv_scale,
-                                       backend=attn_backend,
-                                       k_new=k_enc, v_new=v_enc)[..., :Dh]
-                ys = (k_enc, v_enc)
-            else:
-                kc, vc = write_kv_layer(kc, vc, k, v, meta.slot_mapping, l,
-                                        kv_scale=kv_scale)
-                o = attention_at_layer(q, kc, vc, l, meta, scale,
-                                       kv_scale=kv_scale,
-                                       backend=attn_backend)[..., :Dh]
-                ys = None
-            x = x + linear_at_layer(o.reshape(B, T, Hq * Dh), lw["o"], l)
-
-            h = rms_norm(x, jnp.take(lw["ln2"], l, axis=0), eps)
-            if "gate_up" in lw:
-                gu = linear_at_layer(h, lw["gate_up"], l)
-                F = gu.shape[-1] // 2
-                g, u = gu[..., :F], gu[..., F:]
-            else:
-                g = linear_at_layer(h, lw["gate"], l)
-                u = linear_at_layer(h, lw["up"], l)
-            x = x + linear_at_layer(jax.nn.silu(g) * u, lw["down"], l)
-            return (x, kc, vc), ys
+            return layer_body(lw, cos, sin, meta, carry, l)
 
         L = lw["ln1"].shape[0]
         carry = (x, kv_cache["k"], kv_cache["v"])
