@@ -336,10 +336,12 @@ def test_paged_prefill_kernel_interpret_matches_reference(
         assert np.all(np.asarray(out)[0, num_real:] == 0.0)
 
 
+@pytest.mark.parametrize("arity", [2, 4])
 @pytest.mark.parametrize("k,p", [(0, 1.0), (8, 1.0), (0, 0.9), (64, 0.95), (3, 0.5)])
-def test_thresholds_kernel_matches_xla_bisection(k, p, monkeypatch):
+def test_thresholds_kernel_matches_xla_bisection(k, p, arity, monkeypatch):
     """ops/pallas/rejection.topk_topp_thresholds_pallas must reproduce the
-    XLA bisection's kept set EXACTLY (same math, VMEM-resident)."""
+    XLA search's kept set EXACTLY (same math, VMEM-resident) — at both
+    search arities (VOT_THRESH_ARITY: binary bisection / 4-ary quad)."""
     import jax.experimental.pallas as pl
 
     from vllm_omni_draft_tpu.ops import sampling
@@ -356,13 +358,18 @@ def test_thresholds_kernel_matches_xla_bisection(k, p, monkeypatch):
     top_k = jnp.full((R,), k, jnp.int32)
     top_p = jnp.full((R,), p, jnp.float32)
 
-    ref = sampling.apply_top_k_top_p(logits, top_k, top_p)
-
-    sampling.use_pallas_thresholds(rj.topk_topp_thresholds_pallas)
+    old_arity = sampling.search_arity()
+    sampling.set_search_arity(arity)
     try:
-        got = sampling.apply_top_k_top_p(logits, top_k, top_p)
+        ref = sampling.apply_top_k_top_p(logits, top_k, top_p)
+
+        sampling.use_pallas_thresholds(rj.topk_topp_thresholds_pallas)
+        try:
+            got = sampling.apply_top_k_top_p(logits, top_k, top_p)
+        finally:
+            sampling.use_pallas_thresholds(None)
     finally:
-        sampling.use_pallas_thresholds(None)
+        sampling.set_search_arity(old_arity)
 
     ref_keep = np.asarray(ref) > sampling.NEG_INF / 2
     got_keep = np.asarray(got) > sampling.NEG_INF / 2
@@ -373,6 +380,9 @@ def test_thresholds_kernel_matches_xla_bisection(k, p, monkeypatch):
     )
     # (the COMBINED kept set may be < k: top-p prunes inside the top-k
     # set — same as the XLA fallback)
+    if arity == 4 and k > 0 and p == 1.0:
+        # conservative ties-inclusive invariant: count >= k per row
+        assert (got_keep.sum(axis=1) >= k).all()
 
 
 def test_thresholds_kernel_mixed_rows(monkeypatch):

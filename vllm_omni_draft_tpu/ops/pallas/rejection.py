@@ -19,12 +19,46 @@ so the lossless-rejection distribution tests hold unchanged.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from vllm_omni_draft_tpu.ops import sampling as _sampling
+
 ITERS = 16  # bisection iterations (matches ops/sampling._bisect_threshold)
+
+# VOT_THRESH_BIND=1: bind ONE f32 promotion of the tile per 4-ary loop
+# body (3 counts share it). Risks the round-2 Mosaic materialization
+# (RTxVx4B live) — watch compile time; default recomputes the promotion
+# per probe, which streams vreg-by-vreg like the binary kernel.
+_BIND_PROMO = os.environ.get("VOT_THRESH_BIND", "0") == "1"
+
+
+def _search(prep, probe, lo, hi):
+    """Run the threshold search at ops.sampling's configured arity.
+    `prep()` builds any per-body shared context (the bind-promotion
+    mode); `probe(ctx, t)` -> bool [RT, 1]. The narrowing float math is
+    sampling.quad_step / classic bisection verbatim, so results stay
+    bit-identical across backends at either arity."""
+    if _sampling.search_arity() == 4:
+        def body4(_, carry):
+            lo, hi = carry
+            ctx = prep()
+            return _sampling.quad_step(lambda t: probe(ctx, t), lo, hi)
+
+        lo, hi = jax.lax.fori_loop(0, ITERS // 2, body4, (lo, hi))
+        return lo
+
+    def body2(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        ok = probe(prep(), mid)
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, ITERS, body2, (lo, hi))
+    return lo
 
 
 def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref):
@@ -54,18 +88,14 @@ def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref):
     keff = jnp.where(k > 0, k, V)
 
     # ---- top-k: largest t with count{x >= t} >= k ----
-    def body_k(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        cnt = jnp.sum((xf() >= mid).astype(jnp.int32), axis=-1,
-                      keepdims=True)
-        ok = cnt >= keff
-        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+    prep_x = xf if _BIND_PROMO else (lambda: None)
 
-    lo, hi = jax.lax.fori_loop(
-        0, ITERS, body_k, (row_min - 1e-3, row_max + 1e-3)
-    )
-    kth = lo
+    def count_ok(ctx, t):
+        xi = ctx if ctx is not None else xf()
+        cnt = jnp.sum((xi >= t).astype(jnp.int32), axis=-1, keepdims=True)
+        return cnt >= keff
+
+    kth = _search(prep_x, count_ok, row_min - 1e-3, row_max + 1e-3)
     kth_ref[...] = kth
     mx_ref[...] = row_max
 
@@ -83,19 +113,21 @@ def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref):
     tp = jnp.minimum(p_ref[...], 1.0)
     target = tp * denom
 
-    def body_p(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        mass = jnp.sum(
-            jnp.where(ef() >= mid, ef(), 0.0), axis=-1, keepdims=True
-        )
-        ok = mass >= target
-        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+    prep_e = ef if _BIND_PROMO else (lambda: None)
 
-    lo_p, _ = jax.lax.fori_loop(
-        0, ITERS, body_p, (jnp.zeros_like(emax), emax)
-    )
-    tau_ref[...] = lo_p
+    def mass_ok(ctx, t):
+        if ctx is not None:  # bind mode: one shared promotion
+            mass = jnp.sum(
+                jnp.where(ctx >= t, ctx, 0.0), axis=-1, keepdims=True
+            )
+        else:  # stream mode: promote inside the reduction (never bind a
+            # large f32 image to a name — the round-2 Mosaic spill trap)
+            mass = jnp.sum(
+                jnp.where(ef() >= t, ef(), 0.0), axis=-1, keepdims=True
+            )
+        return mass >= target
+
+    tau_ref[...] = _search(prep_e, mass_ok, jnp.zeros_like(emax), emax)
 
 
 # row tile: Mosaic requires the sublane block dim divisible by 8, so 8 is

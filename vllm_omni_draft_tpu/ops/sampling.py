@@ -15,17 +15,59 @@ Capability parity: vLLM sampler + logit processors
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 NEG_INF = jnp.float32(jnp.finfo(jnp.float32).min)
 
+# threshold-search arity: 2 = classic bisection (16 halving passes),
+# 4 = quad search (8 iterations x 3 probes — same final interval width,
+# half the loop trips; on TPU the Pallas kernel streams 3 counts per
+# VMEM tile visit, attacking the ~35 us/pass fixed cost that dominates
+# the sampled-verify threshold search). Both the XLA fallback and the
+# Pallas kernel key off this, so either setting is self-consistent.
+_SEARCH_ARITY = int(os.environ.get("VOT_THRESH_ARITY", "2"))
+
+
+def set_search_arity(arity: int) -> None:
+    if arity not in (2, 4):
+        raise ValueError(f"search arity must be 2 or 4, got {arity}")
+    global _SEARCH_ARITY
+    _SEARCH_ARITY = arity
+
+
+def search_arity() -> int:
+    return _SEARCH_ARITY
+
+
+def quad_step(target_fn, lo, hi):
+    """One 4-ary narrowing step: 3 probes shrink [lo, hi] to a quarter.
+    Shared verbatim (same float expressions) by the XLA fallback and the
+    Pallas kernel so their results stay bit-identical."""
+    q = 0.25 * (hi - lo)
+    t1 = lo + q
+    t2 = lo + 2.0 * q
+    t3 = lo + 3.0 * q
+    ok1, ok2, ok3 = target_fn(t1), target_fn(t2), target_fn(t3)
+    lo2 = jnp.where(ok3, t3, jnp.where(ok2, t2, jnp.where(ok1, t1, lo)))
+    hi2 = jnp.where(ok3, hi, jnp.where(ok2, t3, jnp.where(ok1, t2, t1)))
+    return lo2, hi2
+
 
 def _bisect_threshold(values, target_fn, lo, hi, iters=16):
     """Find (per row) the largest t such that target_fn(t) holds, where
-    target_fn is monotone-decreasing in t. Returns lo after bisection.
+    target_fn is monotone-decreasing in t. Returns lo after the search.
     The invariant (target_fn(lo) holds at every step) makes the result a
     conservative threshold: the kept set always satisfies the target."""
+    if _SEARCH_ARITY == 4:
+        def body4(_, carry):
+            return quad_step(target_fn, *carry)
+
+        lo, hi = jax.lax.fori_loop(0, iters // 2, body4, (lo, hi))
+        return lo
+
     def body(_, carry):
         lo, hi = carry
         mid = 0.5 * (lo + hi)
