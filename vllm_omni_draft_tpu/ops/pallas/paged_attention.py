@@ -55,6 +55,10 @@ FLAT_KV_DEFAULT = _os.environ.get("VOT_ATTN_FLAT", "0") == "1"
 # The per-chunk compute is far cheaper than one chunk's DMA latency, so
 # depth 2 (classic double buffering) idles ~a full latency per chunk.
 NUM_SLOTS_DEFAULT = int(_os.environ.get("VOT_ATTN_SLOTS", "4"))
+# block copies per DMA semaphore in the decode kernel (0 = all
+# CHUNK_BLOCKS of a (slot, k/v, seq) share one counting sem; 1 = the
+# round-3 per-copy form; sflag budget caps S*2*BQ*ceil(CB/GROUP) sems)
+SEM_GROUP_DEFAULT = int(_os.environ.get("VOT_ATTN_SEM_GROUP", "0"))
 # decode seqs per grid program override (0 = VMEM-budget auto). The
 # round-3 probe measured SPP=16/SLOTS=2 ~10% faster than the auto
 # (8/4) at the fp8 serving shape — per-grid-program prologue trade.
@@ -108,6 +112,10 @@ def _kernel(
     flat: bool,
     nslots: int,
     tail: bool = False,
+    sem_group: int = 0,  # block copies per DMA semaphore (0 = all
+    # CHUNK_BLOCKS share one — round-4 sflag-fit default; 1 = the
+    # round-3 per-copy form; intermediate values probe whether shared
+    # counting sems serialize waits at block-16 shapes, PERF_NOTES r4)
 ):
     if tail:
         # deferred-commit mode: the cache holds only kv_len - T committed
@@ -149,12 +157,16 @@ def _kernel(
                 return hbm.at[layer, bid]
             return hbm.at[bid]
 
+        # semaphore grouping: GRP same-size block copies of one (slot,
+        # k/v, seq) share ONE counting DMA semaphore. GRP=CHUNK_BLOCKS
+        # (default) keeps sflag tiny (~2 KB total; a per-copy array was
+        # the round-4 "Ran out of memory in memory space sflag" compile
+        # error at block-16 shapes, S*2*BQ*8 = 512 sems); smaller GRP
+        # probes whether fully-shared counting sems serialize waits
+        # (PERF_NOTES round-4 ladder-3 gap).
+        GRP = sem_group if sem_group > 0 else CHUNK_BLOCKS
+
         def start_load(c, slot):
-            # all CHUNK_BLOCKS same-size block copies of one (slot, k/v,
-            # seq) share ONE counting DMA semaphore: sflag memory is
-            # ~2 KB total and a per-(slot,kv,seq,chunk) array was the
-            # round-4 "Ran out of memory in memory space sflag" compile
-            # error at block-16 shapes (S*2*BQ*8 = 512 sems)
             base = c * CHUNK_BLOCKS
             for sq in range(BQ):
                 for i in range(CHUNK_BLOCKS):
@@ -162,12 +174,12 @@ def _kernel(
                     pltpu.make_async_copy(
                         src(k_hbm, bid),
                         kbuf.at[slot, sq, pl.ds(i * BS, BS)],
-                        sem.at[slot, 0, sq],
+                        sem.at[slot, 0, sq, i // GRP],
                     ).start()
                     pltpu.make_async_copy(
                         src(v_hbm, bid),
                         vbuf.at[slot, sq, pl.ds(i * BS, BS)],
-                        sem.at[slot, 1, sq],
+                        sem.at[slot, 1, sq, i // GRP],
                     ).start()
 
         def wait_load(c, slot):
@@ -178,12 +190,12 @@ def _kernel(
                     pltpu.make_async_copy(
                         src(k_hbm, bid),
                         kbuf.at[slot, sq, pl.ds(i * BS, BS)],
-                        sem.at[slot, 0, sq],
+                        sem.at[slot, 0, sq, i // GRP],
                     ).wait()
                     pltpu.make_async_copy(
                         src(v_hbm, bid),
                         vbuf.at[slot, sq, pl.ds(i * BS, BS)],
-                        sem.at[slot, 1, sq],
+                        sem.at[slot, 1, sq, i // GRP],
                     ).wait()
 
         # software pipeline: keep nslots-1 chunk loads in flight. The
@@ -385,7 +397,7 @@ def _kernel_fold(
     # scratch
     kbuf,  # [S, BQ, CHUNK_T*Hkv, D] VMEM (cache dtype)
     vbuf,
-    sem,  # DMA sems [S, 2, BQ, CHUNK_BLOCKS]
+    sem,  # DMA sems [S, 2, BQ] (fully shared per (slot, k/v, seq))
     *,
     T: int,
     BS: int,
@@ -717,6 +729,7 @@ def paged_attention_pallas(
             flat=flat_kv,
             nslots=S,
             tail=tail,
+            sem_group=SEM_GROUP_DEFAULT,
         )
         io_block = (BQ, Hkv, GTP, D)
         kv_scratch_dims = (
@@ -749,7 +762,12 @@ def paged_attention_pallas(
         scratch_shapes=[
             pltpu.VMEM((S, BQ, *kv_scratch_dims), k_cache.dtype),
             pltpu.VMEM((S, BQ, *kv_scratch_dims), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((S, 2, BQ)),
+            pltpu.SemaphoreType.DMA(
+                (S, 2, BQ) if gqa_fold else (
+                    S, 2, BQ,
+                    -(-chunk_blocks // (SEM_GROUP_DEFAULT or chunk_blocks)),
+                )
+            ),
         ],
     )
     out_shape = (
