@@ -51,7 +51,8 @@ def main():
         os.path.join(pair, "target"), dtype="bfloat16", max_model_len=512,
     )
     draft = ModelConfig.from_hf_config(
-        os.path.join(pair, "draft"), dtype="bfloat16", max_model_len=512,
+        os.path.join(pair, os.environ.get("VOT_PAIR_DRAFT", "draft")),
+        dtype="bfloat16", max_model_len=512,
     )
     cfg = EngineConfig(
         model=target,

@@ -1,0 +1,153 @@
+"""shard_map TP executor parity (parallel/tp_forward.py): per-shard
+kernels + explicit megatron collectives must match the single-device
+forward — including with (interpret-mode) Pallas kernels installed,
+proving the kernel path composes under shard_map (the GSPMD
+partitioner cannot split a Pallas custom call; PERF_NOTES round-5
+multi-host section)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_omni_draft_tpu.config import ModelConfig, ParallelConfig
+from vllm_omni_draft_tpu.models import qwen2
+from vllm_omni_draft_tpu.ops.attention import AttentionMetadata
+from vllm_omni_draft_tpu.parallel.mesh import make_mesh
+from vllm_omni_draft_tpu.parallel.tp_forward import (
+    compute_argmax_tp,
+    compute_logits_tp,
+    make_forward_tp,
+    shard_kv_tp,
+    shard_params_tp,
+    tp_supported,
+)
+
+
+def _cfg(quant=None):
+    # quant_group_size 32: int4 row-parallel sharding needs
+    # (I/tp) % group == 0 at these tiny dims (7B dims satisfy it at 128)
+    return ModelConfig.tiny(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=8, num_kv_heads=4, head_dim=16,
+        quantization=quant, quant_group_size=32,
+    )
+
+
+def _decode_inputs(cfg, B=4, T0=6):
+    rng = np.random.default_rng(0)
+    init = (qwen2.init_params_quantized if cfg.quantization
+            else qwen2.init_params)
+    params = init(cfg, jax.random.PRNGKey(0))
+    fwd = qwen2.make_forward(cfg)
+    kv = qwen2.init_kv_cache(cfg, num_blocks=64, block_size=8)
+    table = np.zeros((B, 8), np.int32)
+    for b in range(B):
+        table[b, 0] = 1 + b
+    slots = np.zeros((B, T0), np.int32)
+    for b in range(B):
+        for t in range(T0):
+            slots[b, t] = table[b, 0] * 8 + t
+    meta0 = AttentionMetadata(
+        block_tables=jnp.asarray(table),
+        kv_lens=jnp.full((B,), T0, jnp.int32),
+        positions=jnp.tile(jnp.arange(T0, dtype=jnp.int32)[None], (B, 1)),
+        slot_mapping=jnp.asarray(slots),
+    )
+    prompt = rng.integers(1, cfg.vocab_size, size=(B, T0)).astype(np.int32)
+    _, kv = fwd(params, jnp.asarray(prompt), meta0.positions, kv, meta0)
+    tok = rng.integers(1, cfg.vocab_size, size=(B, 1)).astype(np.int32)
+    slots1 = np.asarray([[table[b, 0] * 8 + T0] for b in range(B)], np.int32)
+    meta1 = AttentionMetadata(
+        block_tables=jnp.asarray(table),
+        kv_lens=jnp.full((B,), T0 + 1, jnp.int32),
+        positions=jnp.full((B, 1), T0, jnp.int32),
+        slot_mapping=jnp.asarray(slots1),
+    )
+    return params, kv, meta1, jnp.asarray(tok)
+
+
+@pytest.mark.parametrize("quant", [None, "int8", "int4"])
+def test_tp_forward_matches_single_device(quant):
+    tp = 4
+    if jax.device_count() < tp:
+        pytest.skip("not enough devices")
+    cfg = _cfg(quant)
+    assert tp_supported(cfg, tp)
+    params, kv, meta, tok = _decode_inputs(cfg)
+    fwd_ref = qwen2.make_forward(cfg)
+    href, kv_ref = fwd_ref(params, tok, meta.positions,
+                           jax.tree.map(jnp.copy, kv), meta)
+    logits_ref = qwen2.compute_logits(cfg, params, href[:, 0])
+
+    mesh = make_mesh(ParallelConfig(tensor_parallel_size=tp))
+    sp = shard_params_tp(params, mesh)
+    skv = shard_kv_tp(jax.tree.map(jnp.copy, kv), mesh)
+    fwd_tp = make_forward_tp(cfg, mesh)
+    htp, kv_tp = jax.jit(fwd_tp)(sp, tok, meta.positions, skv, meta)
+
+    np.testing.assert_allclose(
+        np.asarray(href), np.asarray(htp), rtol=2e-4, atol=2e-4
+    )
+    # KV stores bf16: f32 accumulation-order differences between the
+    # sharded and full matmuls can flip one bf16 ulp (~4e-3 relative)
+    np.testing.assert_allclose(
+        np.asarray(kv_ref["k"]), np.asarray(kv_tp["k"]), rtol=8e-3, atol=1e-3
+    )
+    logits_tp = compute_logits_tp(cfg, sp, htp[:, 0], mesh)
+    np.testing.assert_allclose(
+        np.asarray(logits_ref), np.asarray(logits_tp), rtol=3e-4, atol=3e-4
+    )
+    am = compute_argmax_tp(cfg, sp, htp[:, 0], mesh)
+    assert (
+        np.asarray(am) == np.asarray(jnp.argmax(logits_ref, -1))
+    ).all()
+
+
+def test_tp_forward_with_pallas_kernels_interpret(monkeypatch):
+    """Force the Pallas quant kernels (interpret mode) inside the
+    shard_map path: each shard must run the kernel on its LOCAL weight
+    shard and still match the plain single-device forward."""
+    tp = 2
+    if jax.device_count() < tp:
+        pytest.skip("not enough devices")
+    import jax.experimental.pallas as pl
+
+    from vllm_omni_draft_tpu.ops import quant
+    from vllm_omni_draft_tpu.ops.pallas import quant_matmul as qm
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **kw: orig_call(*a, **{**kw, "interpret": True}),
+    )
+    cfg = _cfg("int8")
+    params, kv, meta, tok = _decode_inputs(cfg)
+    fwd_ref = qwen2.make_forward(cfg)
+    href, _ = fwd_ref(params, tok, meta.positions,
+                      jax.tree.map(jnp.copy, kv), meta)
+
+    quant.use_pallas_kernels(qm.matmul_int8_pallas, None)
+    quant.use_pallas_stacked_kernels(qm.matmul_int8_stacked_pallas, None, None)
+    try:
+        mesh = make_mesh(ParallelConfig(tensor_parallel_size=tp))
+        fwd_tp = make_forward_tp(cfg, mesh)
+        htp, _ = jax.jit(fwd_tp)(
+            shard_params_tp(params, mesh), tok, meta.positions,
+            shard_kv_tp(jax.tree.map(jnp.copy, kv), mesh), meta,
+        )
+    finally:
+        quant.use_pallas_kernels(None, None)
+        quant.use_pallas_stacked_kernels(None, None, None)
+    np.testing.assert_allclose(
+        np.asarray(href), np.asarray(htp), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_tp_forward_validates_divisibility():
+    cfg = ModelConfig.tiny(num_heads=6, num_kv_heads=2)
+    mesh = make_mesh(ParallelConfig(tensor_parallel_size=4))
+    with pytest.raises(ValueError, match="divisible"):
+        make_forward_tp(cfg, mesh)

@@ -172,14 +172,22 @@ def init_kv_cache(
 
 
 def make_layer_body(cfg: ModelConfig, deferred_kv: bool = False,
-                    attn_backend: str | None = None):
+                    attn_backend: str | None = None, reduce_fn=None):
     """One transformer layer as a pure function of (stacked weights,
     rope tables, attention meta, carry, layer index) — the unit both
     `make_forward`'s layer scan and the pipeline-parallel stage
     executor (parallel/pipeline.py) scan over. `lw` may hold the FULL
     [L, ...] stacks or a per-stage slice; `l` indexes into whatever
-    `lw`/the carried cache hold."""
+    `lw`/the carried cache hold.
+
+    `reduce_fn` (default identity) wraps the two ROW-PARALLEL matmul
+    outputs (o proj, down proj) — the shard_map TP executor
+    (parallel/tp_forward.py) passes a psum so partial products combine
+    before the residual add. o/down must be bias-free under a non-tri-
+    vial reduce_fn (Qwen2's are; a bias would be summed tp times)."""
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if reduce_fn is None:
+        reduce_fn = lambda y: y
     Dk = kv_store_dim(Dh)
     scale = 1.0 / math.sqrt(Dh)
     kv_scale = cfg.kv_scale
@@ -222,7 +230,9 @@ def make_layer_body(cfg: ModelConfig, deferred_kv: bool = False,
                                    kv_scale=kv_scale,
                                    backend=attn_backend)[..., :Dh]
             ys = None
-        x = x + linear_at_layer(o.reshape(B, T, Hq * Dh), lw["o"], l)
+        x = x + reduce_fn(
+            linear_at_layer(o.reshape(B, T, Hq * Dh), lw["o"], l)
+        )
 
         h = rms_norm(x, jnp.take(lw["ln2"], l, axis=0), eps)
         if "gate_up" in lw:
@@ -232,7 +242,9 @@ def make_layer_body(cfg: ModelConfig, deferred_kv: bool = False,
         else:
             g = linear_at_layer(h, lw["gate"], l)
             u = linear_at_layer(h, lw["up"], l)
-        x = x + linear_at_layer(jax.nn.silu(g) * u, lw["down"], l)
+        x = x + reduce_fn(
+            linear_at_layer(jax.nn.silu(g) * u, lw["down"], l)
+        )
         return (x, kc, vc), ys
 
     return layer_body

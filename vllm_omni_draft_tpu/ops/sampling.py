@@ -28,7 +28,10 @@ NEG_INF = jnp.float32(jnp.finfo(jnp.float32).min)
 # VMEM tile visit, attacking the ~35 us/pass fixed cost that dominates
 # the sampled-verify threshold search). Both the XLA fallback and the
 # Pallas kernel key off this, so either setting is self-consistent.
-_SEARCH_ARITY = int(os.environ.get("VOT_THRESH_ARITY", "2"))
+# Default 4 since round 5: on-chip A/B at the sampled headline shape
+# read 6233 +- 37 vs binary's 6148 +- 28 (+1.4%); VOT_THRESH_BIND=1
+# (shared per-body promotion) measured no further win (6204).
+_SEARCH_ARITY = int(os.environ.get("VOT_THRESH_ARITY", "4"))
 
 
 def set_search_arity(arity: int) -> None:
