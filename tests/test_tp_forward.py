@@ -146,6 +146,54 @@ def test_tp_forward_with_pallas_kernels_interpret(monkeypatch):
     )
 
 
+def test_engine_shardmap_executor_token_parity(monkeypatch):
+    """Full engine under VOT_TP_EXECUTOR=shardmap (tp=4): greedy tokens
+    — including SPEC decode through the fused draft/verify path — must
+    equal the single-device engine's token-for-token."""
+    if jax.device_count() < 4:
+        pytest.skip("not enough devices")
+    from vllm_omni_draft_tpu.config import (
+        CacheConfig, EngineConfig, SchedulerConfig, SpeculativeConfig,
+    )
+    from vllm_omni_draft_tpu.core.request import SamplingParams
+    from vllm_omni_draft_tpu.engine.llm import LLM
+
+    target = _cfg("int8")
+    draft = ModelConfig.tiny(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_heads=4, num_kv_heads=2, head_dim=16,
+    )
+
+    def build(parallel, executor):
+        monkeypatch.setenv("VOT_TP_EXECUTOR", executor)
+        return LLM(EngineConfig(
+            model=target,
+            cache=CacheConfig(block_size=8, num_blocks=64),
+            scheduler=SchedulerConfig(
+                max_num_seqs=4, max_num_batched_tokens=64,
+                prefill_buckets=(16, 64),
+            ),
+            parallel=parallel,
+            speculative=SpeculativeConfig(
+                draft_model=draft, num_speculative_tokens=2
+            ),
+            seed=0,
+        ))
+
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9], [11, 12, 13, 14], [2]]
+    sp = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True)
+
+    ref = build(ParallelConfig(), "gspmd").generate(prompts, sp)
+    llm = build(ParallelConfig(tensor_parallel_size=4), "shardmap")
+    assert llm.engine.runner._tp_shardmap, "shardmap executor not engaged"
+    got = llm.generate(prompts, sp)
+    for p, r, g in zip(prompts, ref, got):
+        assert r.outputs[0].token_ids == g.outputs[0].token_ids, (
+            f"shardmap executor diverged: prompt={p} "
+            f"ref={r.outputs[0].token_ids} got={g.outputs[0].token_ids}"
+        )
+
+
 def test_tp_forward_validates_divisibility():
     cfg = ModelConfig.tiny(num_heads=6, num_kv_heads=2)
     mesh = make_mesh(ParallelConfig(tensor_parallel_size=4))

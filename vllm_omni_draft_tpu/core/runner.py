@@ -203,6 +203,27 @@ class ModelRunner:
 
         self.target_mod, self.target_params = _build_params(config.model)
         self.target_params = _maybe_fuse(config.model, self.target_params)
+        # TP executor: "gspmd" (default) annotates shardings and lets XLA
+        # partition — correct everywhere, but it cannot partition the
+        # Pallas custom calls (it all-gathers / reshards weights;
+        # PERF_NOTES round-5 collective audit). "shardmap" routes the
+        # layer stack through parallel/tp_forward.py: per-shard kernels +
+        # explicit megatron psums — the multi-chip TPU deployment path.
+        self._tp_shardmap = False
+        if (
+            self.mesh is not None
+            and os.environ.get("VOT_TP_EXECUTOR", "gspmd") == "shardmap"
+            and config.parallel.tensor_parallel_size > 1
+        ):
+            from vllm_omni_draft_tpu.parallel import tp_forward as _tpf
+
+            if _tpf.tp_supported(
+                config.model, config.parallel.tensor_parallel_size
+            ):
+                self.target_mod = _tpf.TpModelAdapter(
+                    self.target_mod, config.model, self.mesh
+                )
+                self._tp_shardmap = True
         self.target_fwd = self.target_mod.make_forward(config.model)
         # decode/verify-side forward: deferred KV commit (one batched
         # all-layer scatter pair per forward + VMEM attention tail)
@@ -216,7 +237,16 @@ class ModelRunner:
             if self._defer_kv else self.target_fwd
         )
         if self.mesh is not None:
-            self.target_params = shd.shard_params(self.target_params, self.mesh)
+            if self._tp_shardmap:
+                from vllm_omni_draft_tpu.parallel import tp_forward as _tpf
+
+                self.target_params = _tpf.shard_params_tp(
+                    self.target_params, self.mesh
+                )
+            else:
+                self.target_params = shd.shard_params(
+                    self.target_params, self.mesh
+                )
         self.draft_cfg = config.speculative.draft_model if config.speculative else None
         self.draft_vocab = (
             config.speculative.draft_vocab_size if config.speculative else None

@@ -240,6 +240,43 @@ def compute_logits_tp(cfg: ModelConfig, params: dict, hidden, mesh: Mesh):
     return logits[..., : cfg.vocab_size]
 
 
+class TpModelAdapter:
+    """Drop-in replacement for a model module (models.qwen2) that
+    routes the forward and lm_head through the shard_map executor —
+    the runner swaps this in when VOT_TP_EXECUTOR=shardmap (core/
+    runner.py) so none of its ~20 compute_logits/compute_argmax call
+    sites change. compute_logits_stats derives the row stats FROM the
+    gathered logits, which keeps the rejection-sampler invariant
+    (stats-fed == computed-from-logits) by construction."""
+
+    def __init__(self, mod, cfg: ModelConfig, mesh: Mesh):
+        self._mod = mod
+        self._cfg = cfg
+        self._mesh = mesh
+
+    def __getattr__(self, name):  # init_kv_cache, init_params, ...
+        return getattr(self._mod, name)
+
+    def make_forward(self, cfg: ModelConfig, deferred_kv: bool = False):
+        return make_forward_tp(cfg, self._mesh, deferred_kv=deferred_kv)
+
+    def compute_logits(self, cfg: ModelConfig, params: dict, hidden):
+        return compute_logits_tp(cfg, params, hidden, self._mesh)
+
+    def compute_argmax(self, cfg: ModelConfig, params: dict, hidden):
+        return compute_argmax_tp(cfg, params, hidden, self._mesh)
+
+    def compute_logits_stats(self, cfg: ModelConfig, params: dict, hidden):
+        logits = compute_logits_tp(cfg, params, hidden, self._mesh)
+        import jax.numpy as _jnp
+
+        return (
+            logits,
+            _jnp.max(logits, axis=-1),
+            _jnp.argmax(logits, axis=-1).astype(_jnp.int32),
+        )
+
+
 def compute_argmax_tp(cfg: ModelConfig, params: dict, hidden, mesh: Mesh):
     """Greedy lm_head without materializing global logits: local matmul +
     local argmax per shard, then a cross-shard (max, index) combine —
