@@ -105,6 +105,28 @@ def test_async_generate_n2_delta_stream_indices(async_llm):
     assert len(per_index[0]) == 6 and len(per_index[1]) == 6
 
 
+def test_async_loop_purges_finished_requests(async_llm):
+    """The serving loop must not leak finished requests in
+    scheduler.requests (n-fold with fan-out; advisor round-5)."""
+    async def run():
+        sp = SamplingParams(n=3, max_tokens=4, temperature=1.0, seed=1,
+                            ignore_eos=True)
+        async for _ in async_llm.generate("leak check", sp):
+            pass
+
+    asyncio.run(run())
+    import time
+
+    for _ in range(100):
+        if not async_llm.engine.scheduler.requests:
+            break
+        time.sleep(0.02)
+    assert not async_llm.engine.scheduler.requests, (
+        f"finished requests lingering: "
+        f"{list(async_llm.engine.scheduler.requests)}"
+    )
+
+
 def test_async_cancellation_aborts(async_llm):
     async def run():
         sp = SamplingParams(max_tokens=1000, temperature=0.0, ignore_eos=True)

@@ -130,6 +130,12 @@ class AsyncLLM:
                         self.output_processor.process_outputs(updated[i:i + chunk])
                         if i + chunk < len(updated):
                             self._drain_intake()
+                    # long-running loop: drop finished requests from the
+                    # scheduler map (they linger by design for post-hoc
+                    # reads, but a serving loop — n-fold with fan-out —
+                    # would otherwise grow without bound; CLAUDE.md
+                    # invariant, same as the IPC proc)
+                    self.engine.scheduler.purge_finished()
             except Exception as e:  # propagate to consumers
                 self._errored = e
                 self.output_processor.propagate_error(e)

@@ -36,13 +36,15 @@ ITERS = 16  # bisection iterations (matches ops/sampling._bisect_threshold)
 _BIND_PROMO = os.environ.get("VOT_THRESH_BIND", "0") == "1"
 
 
-def _search(prep, probe, lo, hi):
-    """Run the threshold search at ops.sampling's configured arity.
-    `prep()` builds any per-body shared context (the bind-promotion
-    mode); `probe(ctx, t)` -> bool [RT, 1]. The narrowing float math is
-    sampling.quad_step / classic bisection verbatim, so results stay
-    bit-identical across backends at either arity."""
-    if _sampling.search_arity() == 4:
+def _search(prep, probe, lo, hi, arity):
+    """Run the threshold search at the given arity. `prep()` builds any
+    per-body shared context (the bind-promotion mode); `probe(ctx, t)`
+    -> bool [RT, 1]. The narrowing float math is sampling.quad_step /
+    classic bisection verbatim, so results stay bit-identical across
+    backends at either arity. `arity` is a STATIC jit argument of the
+    kernel — resolved at call time, never captured stale in the jit
+    cache (advisor round-5 finding)."""
+    if arity == 4:
         def body4(_, carry):
             lo, hi = carry
             ctx = prep()
@@ -61,7 +63,8 @@ def _search(prep, probe, lo, hi):
     return lo
 
 
-def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref):
+def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref,
+                       *, arity):
     """x_ref [RT, V] bf16; k_ref/p_ref [RT, 1]; outputs [RT, 1] f32.
 
     All comparisons promote the bf16 image to f32 — EXACTLY the XLA
@@ -95,7 +98,7 @@ def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref):
         cnt = jnp.sum((xi >= t).astype(jnp.int32), axis=-1, keepdims=True)
         return cnt >= keff
 
-    kth = _search(prep_x, count_ok, row_min - 1e-3, row_max + 1e-3)
+    kth = _search(prep_x, count_ok, row_min - 1e-3, row_max + 1e-3, arity)
     kth_ref[...] = kth
     mx_ref[...] = row_max
 
@@ -127,7 +130,8 @@ def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref):
             )
         return mass >= target
 
-    tau_ref[...] = _search(prep_e, mass_ok, jnp.zeros_like(emax), emax)
+    tau_ref[...] = _search(prep_e, mass_ok, jnp.zeros_like(emax), emax,
+                           arity)
 
 
 # row tile: Mosaic requires the sublane block dim divisible by 8, so 8 is
@@ -136,12 +140,13 @@ def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref):
 _ROW_TILE = 8
 
 
-@functools.partial(jax.jit, static_argnames=("row_tile",))
+@functools.partial(jax.jit, static_argnames=("row_tile", "arity"))
 def topk_topp_thresholds_pallas(
     logits_bf16: jax.Array,  # [R, V] bf16 (the comparison image)
     top_k: jax.Array,        # [R] int32, 0 => disabled
     top_p: jax.Array,        # [R] f32, 1.0 => disabled
     row_tile: int | None = None,
+    arity: int = 2,          # STATIC: callers pass sampling.search_arity()
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (kth [R], tau_u [R], row_max [R]) f32 — the top-k logit
     threshold, the top-p unnormalized-exp threshold (both ties-inclusive
@@ -157,7 +162,7 @@ def topk_topp_thresholds_pallas(
     grid = RP // RT
 
     kth, tau, mx = pl.pallas_call(
-        _thresholds_kernel,
+        functools.partial(_thresholds_kernel, arity=arity),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((RT, V), lambda i: (i, 0)),

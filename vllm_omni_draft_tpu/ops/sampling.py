@@ -132,7 +132,10 @@ def topk_topp_thresholds(
     elsewhere — identical math either way."""
     B, V = lx.shape
     if _PALLAS_THRESHOLDS is not None and V >= 4096:
-        return _PALLAS_THRESHOLDS(lx, top_k, top_p)
+        # arity passes as a STATIC jit arg so a runtime
+        # set_search_arity() retraces instead of hitting a stale cache
+        return _PALLAS_THRESHOLDS(lx, top_k, top_p,
+                                  arity=_SEARCH_ARITY)
     row_max = jnp.max(lx, axis=-1, keepdims=True).astype(jnp.float32)
     row_min = jnp.min(lx, axis=-1, keepdims=True).astype(jnp.float32)
 

@@ -25,7 +25,10 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from vllm_omni_draft_tpu.parallel.mesh import TP_AXIS
-from vllm_omni_draft_tpu.parallel.sharding import _divisible_spec
+from vllm_omni_draft_tpu.parallel.sharding import (
+    _divisible_spec,
+    replicated_shardings,
+)
 
 # column-parallel: output features sharded (heads / mlp hidden)
 _COL = ("img_q", "img_k", "img_v", "txt_q", "txt_k", "txt_v",
@@ -67,9 +70,7 @@ def dit_param_shardings(mesh: Mesh, params: dict) -> dict:
         if k == "blocks":
             out[k] = walk(v)
         else:
-            out[k] = jax.tree.map(
-                lambda leaf: NamedSharding(mesh, P(*([None] * leaf.ndim))), v
-            )
+            out[k] = replicated_shardings(mesh, v)
     return out
 
 

@@ -49,13 +49,24 @@ from vllm_omni_draft_tpu.parallel.sharding import (
 
 
 def tp_supported(cfg: ModelConfig, tp: int) -> bool:
-    return (
+    if not (
         tp > 1
         and cfg.num_heads % tp == 0
         and cfg.num_kv_heads % tp == 0
         and cfg.intermediate_size % tp == 0
         and cfg.vocab_size % tp == 0
-    )
+    ):
+        return False
+    if cfg.quantization == "int4":
+        # row-parallel int4 shards must not straddle quant groups
+        # (_repack_int4_row_parallel raises otherwise); check the two
+        # row-parallel input dims so unsupported configs fall back to
+        # the gspmd path instead of dying at engine startup
+        for I in (cfg.num_heads * cfg.head_dim, cfg.intermediate_size):
+            g = min(cfg.quant_group_size, I)
+            if g != I and (I // tp) % g != 0:
+                return False
+    return True
 
 
 def _param_specs(params: dict, mesh: Mesh) -> dict:
