@@ -194,6 +194,73 @@ def test_engine_shardmap_executor_token_parity(monkeypatch):
         )
 
 
+def test_72b_shaped_int4_tp8_traces():
+    """Ladder-5 shape check: the shard_map executor must trace (lower)
+    the 72B int4 config at tp=8 — catches divisibility, repack, and
+    spec mismatches without paying a CPU backend compile. Abstract
+    inputs only; nothing is materialized."""
+    if jax.device_count() < 8:
+        pytest.skip("not enough devices")
+    from vllm_omni_draft_tpu.parallel.tp_forward import KV_SPEC, _param_specs
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # NOTE: the true 72B intermediate 29568 = 128 x 231 groups (231 is
+    # odd) can never group-align to an even tp at group 128 — a real
+    # int4-72B deployment pads the intermediate dim at quantization
+    # time (29696 = 128 x 232 here); tp_supported correctly rejects the
+    # unpadded shape
+    cfg_unpadded = ModelConfig(
+        vocab_size=152_064, hidden_size=8192, intermediate_size=29568,
+        num_layers=4, num_heads=64, num_kv_heads=8, head_dim=128,
+        max_model_len=512, dtype="bfloat16", quantization="int4",
+    )
+    tp = 8
+    assert not tp_supported(cfg_unpadded, tp)
+    cfg = dataclasses.replace(cfg_unpadded, intermediate_size=29696)
+    assert tp_supported(cfg, tp)
+    mesh = make_mesh(ParallelConfig(tensor_parallel_size=tp))
+    from vllm_omni_draft_tpu.parallel.tp_forward import _prepare_params_tp
+
+    shapes = jax.eval_shape(
+        lambda: _prepare_params_tp(qwen2.init_params_quantized(cfg), tp)
+    )
+    specs = _param_specs(shapes, mesh)
+    params_abs = jax.tree.map(
+        lambda s, sp: jax.ShapeDtypeStruct(
+            s.shape, s.dtype, sharding=NamedSharding(mesh, sp)
+        ),
+        shapes, specs, is_leaf=lambda x: isinstance(x, jax.ShapeDtypeStruct),
+    )
+    kv_shapes = jax.eval_shape(
+        lambda: qwen2.init_kv_cache(cfg, num_blocks=32, block_size=16)
+    )
+    kv_abs = {
+        k: jax.ShapeDtypeStruct(
+            v.shape, v.dtype, sharding=NamedSharding(mesh, KV_SPEC)
+        )
+        for k, v in kv_shapes.items()
+    }
+    B, T = 4, 5
+    rep = NamedSharding(mesh, P())
+    a = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt, sharding=rep)
+    fwd = make_forward_tp(cfg, mesh)
+
+    def step(params, kv, tok, pos, bt, kl, slots):
+        meta = AttentionMetadata(
+            block_tables=bt, kv_lens=kl, positions=pos, slot_mapping=slots
+        )
+        return fwd(params, tok, pos, kv, meta)
+
+    lowered = jax.jit(step).lower(
+        params_abs, kv_abs, a((B, T), jnp.int32), a((B, T), jnp.int32),
+        a((B, 4), jnp.int32), a((B,), jnp.int32), a((B, T), jnp.int32),
+    )
+    # lowering succeeded = the executor traces at ladder-5 dims; check
+    # the output contract instead of HLO text (which varies by jax ver)
+    h_shape, kv_shape = lowered.out_info
+    assert tuple(h_shape.shape) == (B, T, cfg.hidden_size)
+
+
 def test_tp_forward_validates_divisibility():
     cfg = ModelConfig.tiny(num_heads=6, num_kv_heads=2)
     mesh = make_mesh(ParallelConfig(tensor_parallel_size=4))

@@ -21,7 +21,14 @@ Sharding (reuses parallel/sharding.param_spec):
   KV cache       kv-heads sharded  (attention fully shard-local)
 
 Constraints: num_heads, num_kv_heads, intermediate_size, vocab_size all
-divisible by tp (head-replication fallbacks stay on the GSPMD path).
+divisible by tp (head-replication fallbacks stay on the GSPMD path),
+and for int4 the row-parallel quant groups must not straddle shards:
+(I/tp) % group == 0 for I in {num_heads*head_dim, intermediate_size}.
+Notably the true Qwen-72B intermediate (29568 = 128 x 231 groups, odd
+group count) can never align to an even tp at group 128 — an int4 72B
+deployment pads the intermediate dim at quantization time (29696 =
+128 x 232); tp_supported rejects the unpadded shape so the engine
+falls back to gspmd instead of mis-sharding.
 """
 
 from __future__ import annotations
