@@ -246,3 +246,52 @@ def test_batched_first_token_sampler_matches_per_row():
     # greedy rows equal plain argmax (the old per-request _argmax_fn)
     for i in (0, 4):
         assert int(batched[i]) == int(jnp.argmax(logits[i]))
+
+
+def test_gathered_thresholds_exact_for_finite_topk():
+    """VOT_TOPK_GATHER_TILES fast path: for rows with 0 < top_k <= N
+    (tiles) the kept set must EQUAL the full-width search's — each
+    candidate can sit in its own tile, so exactness needs N >= k, and
+    the global-row_min lower bound makes the probe trajectories (hence
+    thresholds) bit-identical."""
+    from vllm_omni_draft_tpu.ops import sampling
+
+    rng = np.random.default_rng(3)
+    R, V = 6, 16384
+    logits = jnp.asarray(rng.normal(size=(R, V)) * 3, jnp.float32)
+    top_k = jnp.asarray([1, 4, 8, 6, 2, 3], jnp.int32)
+    top_p = jnp.asarray([1.0, 0.9, 0.95, 0.5, 1.0, 0.3], jnp.float32)
+
+    ref = sampling.apply_top_k_top_p(logits, top_k, top_p)
+    sampling.set_gather_tiles(8)  # N=8 >= max(top_k)
+    try:
+        got = sampling.apply_top_k_top_p(logits, top_k, top_p)
+    finally:
+        sampling.set_gather_tiles(0)
+    ref_keep = np.asarray(ref) > sampling.NEG_INF / 2
+    got_keep = np.asarray(got) > sampling.NEG_INF / 2
+    np.testing.assert_array_equal(got_keep, ref_keep)
+    np.testing.assert_array_equal(
+        np.asarray(got)[got_keep], np.asarray(ref)[ref_keep]
+    )
+
+
+def test_gathered_thresholds_disabled_topk_keeps_at_least_subset():
+    """top_k=0 rows under the gather flag: behavior is a valid
+    ties-inclusive filter keeping AT LEAST the top-N*512 (the knob is
+    documented for finite-top_k serving configs; disabled-k rows must
+    never lose probable tokens)."""
+    from vllm_omni_draft_tpu.ops import sampling
+
+    rng = np.random.default_rng(4)
+    R, V = 2, 4096
+    logits = jnp.asarray(rng.normal(size=(R, V)), jnp.float32)
+    top_k = jnp.zeros((R,), jnp.int32)
+    top_p = jnp.ones((R,), jnp.float32)
+    sampling.set_gather_tiles(1)
+    try:
+        got = sampling.apply_top_k_top_p(logits, top_k, top_p)
+    finally:
+        sampling.set_gather_tiles(0)
+    kept = (np.asarray(got) > sampling.NEG_INF / 2).sum(axis=1)
+    assert (kept >= 512).all(), kept

@@ -63,8 +63,12 @@ def _search(prep, probe, lo, hi, arity):
     return lo
 
 
-def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref,
-                       *, arity):
+def _thresholds_kernel(x_ref, k_ref, p_ref, *rest, arity, ext_rowmin):
+    if ext_rowmin:
+        rm_ref, kth_ref, tau_ref, mx_ref = rest
+    else:
+        kth_ref, tau_ref, mx_ref = rest
+        rm_ref = None
     """x_ref [RT, V] bf16; k_ref/p_ref [RT, 1]; outputs [RT, 1] f32.
 
     All comparisons promote the bf16 image to f32 — EXACTLY the XLA
@@ -85,7 +89,11 @@ def _thresholds_kernel(x_ref, k_ref, p_ref, kth_ref, tau_ref, mx_ref,
         return xb.astype(jnp.float32)
 
     row_max = jnp.max(xf(), axis=-1, keepdims=True)
-    row_min = jnp.min(xf(), axis=-1, keepdims=True)
+    # external lower bound (gathered fast path: the GLOBAL row min, so
+    # the probe trajectory matches the full-width search bit-for-bit)
+    row_min = rm_ref[...] if rm_ref is not None else jnp.min(
+        xf(), axis=-1, keepdims=True
+    )
 
     k = k_ref[...]  # [RT, 1] int32 (0 => disabled)
     keff = jnp.where(k > 0, k, V)
@@ -147,6 +155,7 @@ def topk_topp_thresholds_pallas(
     top_p: jax.Array,        # [R] f32, 1.0 => disabled
     row_tile: int | None = None,
     arity: int = 2,          # STATIC: callers pass sampling.search_arity()
+    row_min: jax.Array | None = None,  # [R] f32 external lower bound
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (kth [R], tau_u [R], row_max [R]) f32 — the top-k logit
     threshold, the top-p unnormalized-exp threshold (both ties-inclusive
@@ -161,14 +170,27 @@ def topk_topp_thresholds_pallas(
     RP = R + pad
     grid = RP // RT
 
+    in_specs = [
+        pl.BlockSpec((RT, V), lambda i: (i, 0)),
+        pl.BlockSpec((RT, 1), lambda i: (i, 0)),
+        pl.BlockSpec((RT, 1), lambda i: (i, 0)),
+    ]
+    operands = [
+        logits_bf16,
+        top_k.reshape(RP, 1).astype(jnp.int32),
+        top_p.reshape(RP, 1).astype(jnp.float32),
+    ]
+    if row_min is not None:
+        if pad:
+            row_min = jnp.pad(row_min, ((0, pad),))
+        in_specs.append(pl.BlockSpec((RT, 1), lambda i: (i, 0)))
+        operands.append(row_min.reshape(RP, 1).astype(jnp.float32))
+
     kth, tau, mx = pl.pallas_call(
-        functools.partial(_thresholds_kernel, arity=arity),
+        functools.partial(_thresholds_kernel, arity=arity,
+                          ext_rowmin=row_min is not None),
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((RT, V), lambda i: (i, 0)),
-            pl.BlockSpec((RT, 1), lambda i: (i, 0)),
-            pl.BlockSpec((RT, 1), lambda i: (i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((RT, 1), lambda i: (i, 0)),
             pl.BlockSpec((RT, 1), lambda i: (i, 0)),
@@ -179,9 +201,5 @@ def topk_topp_thresholds_pallas(
             jax.ShapeDtypeStruct((RP, 1), jnp.float32),
             jax.ShapeDtypeStruct((RP, 1), jnp.float32),
         ],
-    )(
-        logits_bf16,
-        top_k.reshape(RP, 1).astype(jnp.int32),
-        top_p.reshape(RP, 1).astype(jnp.float32),
-    )
+    )(*operands)
     return kth[:R, 0], tau[:R, 0], mx[:R, 0]

@@ -116,15 +116,79 @@ def apply_top_k_top_p(
     in isolation (see PERF_NOTES.md "bisection fusion miscompile").
     """
     lx = jax.lax.optimization_barrier(logits.astype(jnp.bfloat16))
-    kth, tau, mx = topk_topp_thresholds(lx, top_k, top_p)
+    if _GATHER_TILES:
+        kth, tau, mx = topk_topp_thresholds_gathered(lx, top_k, top_p)
+    else:
+        kth, tau, mx = topk_topp_thresholds(lx, top_k, top_p)
     keep = keep_mask(lx, kth, tau, mx)
     return jnp.where(keep, logits, NEG_INF)
+
+
+# VOT_TOPK_GATHER_TILES=N (>0 enables): run the threshold search on the
+# rows' top-N 512-column tiles instead of the full vocab. For rows with
+# 0 < top_k <= N the top-k threshold is BIT-IDENTICAL to the full-width
+# search: each of the <=k elements >= kth makes its own tile-max >= kth,
+# so at most k tiles hold candidates and the top-N-by-tilemax gather
+# covers them all; with the global row_min threaded in as the lower
+# bound, every probe's count decision — hence the whole trajectory —
+# matches. (N >= k, NOT N*512 >= k: candidates can sit one per tile.)
+# The top-p threshold is exact up to the search's existing interval
+# tolerance: elements inside the final ~2^-16-range gap of kth that
+# fall OUTSIDE the gathered tiles are missing from the subset's exp
+# mass — their contribution is bounded by that gap's exp weight
+# (empirically zero effect; the bench's k=64/p=0.95 config measures
+# bit-identical kept sets). Rows with top_k == 0 see only the subset's
+# counts (keff = subset width) — they keep AT LEAST the top N*512 and
+# may keep everything; a valid ties-inclusive filter, but not the
+# full-width semantics, so the flag is a serving-config knob for
+# deployments whose requests always carry finite top_k <= N. The search
+# itself (Pallas kernel or XLA fallback) is reused unchanged on the
+# gathered image — it streams N*512 columns per probe instead of 152k.
+_GATHER_TILES = int(os.environ.get("VOT_TOPK_GATHER_TILES", "0"))
+_GATHER_TILE_W = 512
+
+
+def set_gather_tiles(n: int) -> None:
+    global _GATHER_TILES
+    _GATHER_TILES = int(n)
+
+
+def topk_topp_thresholds_gathered(
+    lx: jax.Array,  # [B, V] bf16
+    top_k: jax.Array,
+    top_p: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    B, V = lx.shape
+    W = _GATHER_TILE_W
+    nsel = _GATHER_TILES
+    if V <= nsel * W:
+        return topk_topp_thresholds(lx, top_k, top_p)
+    pad = (-V) % W
+    lxp = (
+        jnp.pad(lx, ((0, 0), (0, pad)), constant_values=jnp.bfloat16(-1e30))
+        if pad else lx
+    )
+    nt = lxp.shape[1] // W
+    tilemax = lxp.reshape(B, nt, W).max(axis=-1)          # [B, nt]
+    _, idx = jax.lax.top_k(tilemax, nsel)                 # [B, nsel]
+    cols = (idx[..., None] * W
+            + jnp.arange(W, dtype=idx.dtype)).reshape(B, nsel * W)
+    sub = jnp.take_along_axis(lxp, cols, axis=1)          # [B, nsel*W]
+    # thread the GLOBAL row min in as the search's lower bound: the
+    # probe trajectory then matches the full-width search exactly, so
+    # finite-top_k rows get BIT-IDENTICAL thresholds (subset min alone
+    # would shift the probes and flip boundary elements)
+    row_min = jnp.min(lx, axis=-1).astype(jnp.float32)
+    return topk_topp_thresholds(sub, top_k, top_p, row_min=row_min)
 
 
 def topk_topp_thresholds(
     lx: jax.Array,  # [B, V] bf16 (barriered image of scaled logits)
     top_k: jax.Array,  # [B] int32, 0 => disabled
     top_p: jax.Array,  # [B] f32, 1.0 => disabled
+    row_min: jax.Array | None = None,  # [B] f32 external lower bound
+    # (the gathered fast path passes the GLOBAL row min so the probe
+    # trajectory matches the full-width search bit-for-bit)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-row (kth, tau, mx) defining the top-k/top-p kept set as
         keep(v) = lx[v] >= kth  AND  bf16(exp(f32(lx[v]) - mx)) >= tau
@@ -135,9 +199,12 @@ def topk_topp_thresholds(
         # arity passes as a STATIC jit arg so a runtime
         # set_search_arity() retraces instead of hitting a stale cache
         return _PALLAS_THRESHOLDS(lx, top_k, top_p,
-                                  arity=_SEARCH_ARITY)
+                                  arity=_SEARCH_ARITY, row_min=row_min)
     row_max = jnp.max(lx, axis=-1, keepdims=True).astype(jnp.float32)
-    row_min = jnp.min(lx, axis=-1, keepdims=True).astype(jnp.float32)
+    if row_min is None:
+        row_min = jnp.min(lx, axis=-1, keepdims=True).astype(jnp.float32)
+    else:
+        row_min = row_min.reshape(B, 1).astype(jnp.float32)
 
     # ---- top-k: largest t with count{logit >= t} >= k ----
     k = jnp.where(top_k > 0, top_k, V).astype(jnp.int32)[:, None]
