@@ -120,7 +120,12 @@ def main():
             # 6115, at 128 vs fp8 5481@16. The round-1 small-block
             # preference for 1-byte KV was a double-buffering underlap
             # artifact (PERF_NOTES round-2 TPU findings).
-            block_size=int(os.environ.get("VOT_BENCH_BLOCK", "128")),
+            # fp8 KV prefers block 32 with the round-5 shared-semaphore
+            # kernels (5640 vs 5370 at block 16 — PERF_NOTES round-5
+            # ladder-3 probe); other dtypes keep the round-1 sweep's 128
+            block_size=int(os.environ.get(
+                "VOT_BENCH_BLOCK", "32" if kv_dtype == "fp8" else "128"
+            )),
             gpu_memory_utilization=0.85,
         ),
         scheduler=SchedulerConfig(
