@@ -266,3 +266,29 @@ def test_tp_forward_validates_divisibility():
     mesh = make_mesh(ParallelConfig(tensor_parallel_size=4))
     with pytest.raises(ValueError, match="divisible"):
         make_forward_tp(cfg, mesh)
+
+
+def test_compute_logits_stats_tp_matches_logits():
+    """The sharded stats must equal max/argmax computed from the
+    returned logits (the rejection-sampler invariant), without any
+    full-width replicated reduction."""
+    if jax.device_count() < 4:
+        pytest.skip("not enough devices")
+    from vllm_omni_draft_tpu.parallel.tp_forward import (
+        compute_logits_stats_tp,
+        shard_params_tp,
+    )
+
+    cfg = _cfg("int8")
+    params = qwen2.init_params_quantized(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(ParallelConfig(tensor_parallel_size=4))
+    sp = shard_params_tp(params, mesh)
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (6, cfg.hidden_size))
+    logits, mx, am = compute_logits_stats_tp(cfg, sp, hidden, mesh)
+    assert logits.shape == (6, cfg.vocab_size)
+    np.testing.assert_array_equal(
+        np.asarray(mx), np.asarray(jnp.max(logits, axis=-1))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(am), np.asarray(jnp.argmax(logits, axis=-1))
+    )

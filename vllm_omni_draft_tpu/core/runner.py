@@ -238,9 +238,11 @@ class ModelRunner:
         )
         if self.mesh is not None:
             if self._tp_shardmap:
-                from vllm_omni_draft_tpu.parallel import tp_forward as _tpf
+                from vllm_omni_draft_tpu.parallel.tp_forward import (
+                    shard_params_tp as _shard_params_tp,
+                )
 
-                self.target_params = _tpf.shard_params_tp(
+                self.target_params = _shard_params_tp(
                     self.target_params, self.mesh
                 )
             else:

@@ -64,11 +64,6 @@ def _search(prep, probe, lo, hi, arity):
 
 
 def _thresholds_kernel(x_ref, k_ref, p_ref, *rest, arity, ext_rowmin):
-    if ext_rowmin:
-        rm_ref, kth_ref, tau_ref, mx_ref = rest
-    else:
-        kth_ref, tau_ref, mx_ref = rest
-        rm_ref = None
     """x_ref [RT, V] bf16; k_ref/p_ref [RT, 1]; outputs [RT, 1] f32.
 
     All comparisons promote the bf16 image to f32 — EXACTLY the XLA
@@ -81,6 +76,11 @@ def _thresholds_kernel(x_ref, k_ref, p_ref, *rest, arity, ext_rowmin):
     vreg-by-vreg — binding a hoisted f32 copy instead put ~14 MB of
     tensors in scope at RT=8 and the kernel spilled (measured: no speedup
     over the XLA path, 33-minute Mosaic compile)."""
+    if ext_rowmin:
+        rm_ref, kth_ref, tau_ref, mx_ref = rest
+    else:
+        kth_ref, tau_ref, mx_ref = rest
+        rm_ref = None
     xb = x_ref[...]  # [RT, V] bf16 — the only full-width resident (+e)
     V = xb.shape[-1]
 
@@ -148,18 +148,31 @@ def _thresholds_kernel(x_ref, k_ref, p_ref, *rest, arity, ext_rowmin):
 _ROW_TILE = 8
 
 
-@functools.partial(jax.jit, static_argnames=("row_tile", "arity"))
 def topk_topp_thresholds_pallas(
     logits_bf16: jax.Array,  # [R, V] bf16 (the comparison image)
     top_k: jax.Array,        # [R] int32, 0 => disabled
     top_p: jax.Array,        # [R] f32, 1.0 => disabled
     row_tile: int | None = None,
-    arity: int = 2,          # STATIC: callers pass sampling.search_arity()
+    arity: int | None = None,  # None => the configured search arity
     row_min: jax.Array | None = None,  # [R] f32 external lower bound
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (kth [R], tau_u [R], row_max [R]) f32 — the top-k logit
     threshold, the top-p unnormalized-exp threshold (both ties-inclusive
-    conservative), and the row max used for the exp image."""
+    conservative), and the row max used for the exp image. `arity`
+    resolves to sampling.search_arity() OUTSIDE the jit so direct
+    callers (micro benches) match the engine's configured search."""
+    if arity is None:
+        arity = _sampling.search_arity()
+    return _topk_topp_thresholds_pallas_jit(
+        logits_bf16, top_k, top_p, row_tile=row_tile, arity=arity,
+        row_min=row_min,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("row_tile", "arity"))
+def _topk_topp_thresholds_pallas_jit(
+    logits_bf16, top_k, top_p, row_tile=None, arity=2, row_min=None,
+):
     R, V = logits_bf16.shape
     RT = min(row_tile or _ROW_TILE, R)
     pad = (-R) % RT

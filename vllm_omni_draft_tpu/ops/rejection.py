@@ -153,7 +153,7 @@ def rejection_sample_sparse(
     """
     from vllm_omni_draft_tpu.ops.sampling import (
         keep_mask,
-        topk_topp_thresholds,
+        thresholds_dispatch,
     )
 
     B, K = draft_tokens.shape
@@ -167,7 +167,7 @@ def rejection_sample_sparse(
     lg32 = target_logits.reshape(R, V).astype(jnp.float32)
     scaled = lg32 / jnp.repeat(safe_t, K + 1)[:, None]  # fused upstream
     lx = jax.lax.optimization_barrier(scaled.astype(jnp.bfloat16))
-    kth, tau, _ = topk_topp_thresholds(
+    kth, tau, _ = thresholds_dispatch(
         lx, jnp.repeat(top_ks, K + 1), jnp.repeat(top_ps, K + 1)
     )
     # f32 row stats for the prob law (matching softmax over the kept set).

@@ -116,12 +116,19 @@ def apply_top_k_top_p(
     in isolation (see PERF_NOTES.md "bisection fusion miscompile").
     """
     lx = jax.lax.optimization_barrier(logits.astype(jnp.bfloat16))
-    if _GATHER_TILES:
-        kth, tau, mx = topk_topp_thresholds_gathered(lx, top_k, top_p)
-    else:
-        kth, tau, mx = topk_topp_thresholds(lx, top_k, top_p)
+    kth, tau, mx = thresholds_dispatch(lx, top_k, top_p)
     keep = keep_mask(lx, kth, tau, mx)
     return jnp.where(keep, logits, NEG_INF)
+
+
+def thresholds_dispatch(lx, top_k, top_p):
+    """The single entry every consumer (apply_top_k_top_p AND
+    rejection_sample_sparse) must use, so the VOT_TOPK_GATHER_TILES
+    flag applies uniformly and the compute_probs==sparse-sampler token
+    invariant holds under any flag setting."""
+    if _GATHER_TILES:
+        return topk_topp_thresholds_gathered(lx, top_k, top_p)
+    return topk_topp_thresholds(lx, top_k, top_p)
 
 
 # VOT_TOPK_GATHER_TILES=N (>0 enables): run the threshold search on the

@@ -65,11 +65,14 @@ def tp_supported(cfg: ModelConfig, tp: int) -> bool:
     ):
         return False
     if cfg.quantization == "int4":
-        # row-parallel int4 shards must not straddle quant groups
+        # row-parallel int4 shards must not straddle quant groups and
+        # local widths must stay even for the split-half repack
         # (_repack_int4_row_parallel raises otherwise); check the two
         # row-parallel input dims so unsupported configs fall back to
         # the gspmd path instead of dying at engine startup
         for I in (cfg.num_heads * cfg.head_dim, cfg.intermediate_size):
+            if I % tp or (I // tp) % 2:
+                return False
             g = min(cfg.quant_group_size, I)
             if g != I and (I // tp) % g != 0:
                 return False
@@ -285,14 +288,44 @@ class TpModelAdapter:
         return compute_argmax_tp(cfg, params, hidden, self._mesh)
 
     def compute_logits_stats(self, cfg: ModelConfig, params: dict, hidden):
-        logits = compute_logits_tp(cfg, params, hidden, self._mesh)
-        import jax.numpy as _jnp
+        return compute_logits_stats_tp(cfg, params, hidden, self._mesh)
 
-        return (
-            logits,
-            _jnp.max(logits, axis=-1),
-            _jnp.argmax(logits, axis=-1).astype(_jnp.int32),
-        )
+
+def compute_logits_stats_tp(cfg: ModelConfig, params: dict, hidden,
+                            mesh: Mesh):
+    """Sampled-verify lm_head under shard_map: full (vocab-sharded)
+    logits plus per-row max/argmax computed from LOCAL shard reductions
+    and an [N]-pair combine — no full-width replicated reductions over
+    the gathered logits (advisor round-5). Stats are over the same
+    logits values the caller receives, preserving the stats-fed ==
+    computed-from-logits rejection-sampler invariant."""
+    head = params["lm_head"] if "lm_head" in params else {"w": params["embed"]}
+    head_specs = jax.tree.map(
+        lambda leaf: P(TP_AXIS, *([None] * (leaf.ndim - 1))), head
+    )
+    Vpad = head["w"].shape[0]
+    tp = mesh.shape[TP_AXIS]
+    Vloc = Vpad // tp
+
+    def local(hd, h):
+        logits = linear(h, hd, out_dtype=jnp.float32)  # [N, Vloc]
+        start = jax.lax.axis_index(TP_AXIS) * Vloc
+        col = jnp.arange(Vloc)[None, :] + start
+        masked = jnp.where(col < cfg.vocab_size, logits, -jnp.inf)
+        mx = jnp.max(masked, axis=-1)
+        am = jnp.argmax(masked, axis=-1).astype(jnp.int32) + start
+        allm = jax.lax.all_gather(mx, TP_AXIS)   # [tp, N]
+        alla = jax.lax.all_gather(am, TP_AXIS)
+        best = jnp.argmax(allm, axis=0)          # first max wins
+        gmx = jnp.take_along_axis(allm, best[None], axis=0)[0]
+        gam = jnp.take_along_axis(alla, best[None], axis=0)[0]
+        return logits, gmx, gam
+
+    logits, mx, am = jax.shard_map(
+        local, mesh=mesh, in_specs=(head_specs, P()),
+        out_specs=(P(None, TP_AXIS), P(), P()), check_vma=False,
+    )(head, hidden)
+    return logits[..., : cfg.vocab_size], mx, am
 
 
 def compute_argmax_tp(cfg: ModelConfig, params: dict, hidden, mesh: Mesh):
